@@ -1,0 +1,150 @@
+"""Config / graph-IR tests: every examples/ pbtxt must parse and
+shape-infer (reference test strategy analog: SURVEY.md §4 item (b))."""
+
+import glob
+import os
+
+import pytest
+
+from convnet_tpu import config, graph
+from convnet_tpu.graph import ACT, ET, LOSS, build_graph, conv_out_size
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+EXAMPLE_PBTXTS = sorted(glob.glob(os.path.join(REPO, "examples", "*", "*.pbtxt")))
+MODEL_PBTXTS = [p for p in EXAMPLE_PBTXTS if "data" not in os.path.basename(p)]
+
+
+def test_examples_exist():
+    assert MODEL_PBTXTS, "no example model pbtxts found"
+
+
+@pytest.mark.parametrize("path", MODEL_PBTXTS, ids=os.path.basename)
+def test_example_parses_and_builds(path):
+    model = config.read_model(path)
+    g = build_graph(model)
+    assert g.input_layers and g.output_layers
+    # every layer got a shape
+    for l in g.layers:
+        assert l.name in g.shapes
+    # topo property: an edge's source shape is known before the edge runs
+    seen = {l.name for l in g.input_layers}
+    for e in g.edges:
+        assert e.source in seen or any(
+            x.dest == e.source for x in g.edges[: g.edges.index(e)]
+        )
+        seen.add(e.dest)
+
+
+def test_conv_out_size_cuda_convnet_convention():
+    # AlexNet conv1: 224, k11, s4, p0 -> 55 (requires ceil semantics)
+    assert conv_out_size(224, 11, 4, 0) == 55
+    # overlapping pool: 55, k3, s2 -> 27
+    assert conv_out_size(55, 3, 2, 0) == 27
+    # CIFAR pool: 32, k3, s2 -> 16 (ceil; floor would give 15)
+    assert conv_out_size(32, 3, 2, 0) == 16
+    # same-pad conv: 28, k5, s1, p2 -> 28
+    assert conv_out_size(28, 5, 1, 2) == 28
+
+
+def test_mnist_shapes():
+    g = build_graph(config.read_model(os.path.join(REPO, "examples/mnist/mnist_lenet.pbtxt")))
+    assert g.shapes["input"] == (28, 28, 1)
+    assert g.shapes["conv1"] == (28, 28, 16)
+    assert g.shapes["pool1"] == (14, 14, 16)
+    assert g.shapes["pool2"] == (7, 7, 32)
+    assert g.shapes["fc1"] == (1, 1, 128)
+    assert g.shapes["output"] == (1, 1, 10)
+
+
+def test_alexnet_shapes():
+    g = build_graph(config.read_model(os.path.join(REPO, "examples/imagenet/alexnet.pbtxt")))
+    assert g.shapes["conv1"] == (55, 55, 96)
+    assert g.shapes["pool1"] == (27, 27, 96)
+    assert g.shapes["conv2"] == (27, 27, 256)
+    assert g.shapes["pool2"] == (13, 13, 256)
+    assert g.shapes["conv5"] == (13, 13, 256)
+    assert g.shapes["pool5"] == (6, 6, 256)
+    assert g.shapes["fc6"] == (1, 1, 4096)
+    assert g.compute_dtype == "bfloat16"
+    assert g.parallel_data == 8
+
+
+def test_output_layer_loss_inferred_from_activation():
+    m = config.parse_model(
+        """
+        name: "t"
+        layer { name: "in" is_input: true num_channels: 4 }
+        layer { name: "out" is_output: true num_channels: 3 activation: SOFTMAX }
+        edge { source: "in" dest: "out" edge_type: FC }
+        """
+    )
+    g = build_graph(m)
+    assert g.layer("out").loss_function == LOSS.CROSS_ENTROPY_MULTINOMIAL
+
+
+def test_rejects_unknown_source():
+    m = config.parse_model(
+        """
+        name: "t"
+        layer { name: "in" is_input: true }
+        layer { name: "out" is_output: true num_channels: 2 activation: SOFTMAX }
+        edge { source: "nope" dest: "out" edge_type: FC }
+        """
+    )
+    with pytest.raises(ValueError, match="unknown source"):
+        build_graph(m)
+
+
+def test_rejects_cycle():
+    m = config.parse_model(
+        """
+        name: "t"
+        layer { name: "in" is_input: true num_channels: 2 }
+        layer { name: "a" num_channels: 2 }
+        layer { name: "b" num_channels: 2 }
+        layer { name: "out" is_output: true num_channels: 2 activation: SOFTMAX }
+        edge { source: "in" dest: "out" edge_type: FC }
+        edge { source: "a" dest: "b" edge_type: FC }
+        edge { source: "b" dest: "a" edge_type: FC }
+        """
+    )
+    with pytest.raises(ValueError, match="cycle|unreachable"):
+        build_graph(m)
+
+
+def test_rejects_channel_mismatch():
+    m = config.parse_model(
+        """
+        name: "t"
+        layer { name: "in" is_input: true num_channels: 3 image_size: 8 }
+        layer { name: "c" num_channels: 7 }
+        layer { name: "out" is_output: true num_channels: 2 activation: SOFTMAX }
+        edge { source: "in" dest: "c" edge_type: MAXPOOL kernel_size: 2 stride: 2 }
+        edge { source: "c" dest: "out" edge_type: FC }
+        """
+    )
+    with pytest.raises(ValueError, match="num_channels"):
+        build_graph(m)
+
+
+def test_multi_input_sum_shapes_must_agree():
+    m = config.parse_model(
+        """
+        name: "t"
+        layer { name: "in" is_input: true num_channels: 4 }
+        layer { name: "h" num_channels: 8 activation: RECTIFIED_LINEAR }
+        layer { name: "out" is_output: true num_channels: 8 activation: SOFTMAX }
+        edge { source: "in" dest: "h" edge_type: FC }
+        edge { source: "in" dest: "out" edge_type: FC }
+        edge { source: "h" dest: "out" edge_type: FC }
+        """
+    )
+    g = build_graph(m)
+    assert len(g.incoming("out")) == 2
+    assert g.shapes["out"] == (1, 1, 8)
+
+
+def test_graph_is_hashable():
+    g = build_graph(config.read_model(os.path.join(REPO, "examples/mnist/mnist_lenet.pbtxt")))
+    hash(g)  # must be usable as a jit static arg
+    assert g == build_graph(config.read_model(os.path.join(REPO, "examples/mnist/mnist_lenet.pbtxt")))
