@@ -1,0 +1,101 @@
+"""Headline benchmark: AlexNet training images/sec/chip.
+
+Runs the full jit'd train step (on-device jitter prologue + forward +
+backward + per-edge SGD) on synthetic uint8 data — the BASELINE.json
+north-star workload — and prints ONE JSON line.
+
+`vs_baseline`: the reference publishes no numbers (BASELINE.md), so the
+comparison point is the XLA-conv roofline BASELINE.json names: measured
+images/sec divided by the bf16-peak-FLOPs-derived bound for this chip
+(~3x forward FLOPs per train step). 1.0 would be speed-of-light.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def conv_flops_per_image(graph):
+    """MAC-based FLOPs (2*MACs) of conv/local/fc edges, forward pass."""
+    from convnet_tpu.graph import ET
+
+    total = 0
+    for e in graph.edges:
+        h, w, c = graph.shapes[e.dest]
+        sh, sw, sc = graph.shapes[e.source]
+        if e.edge_type in (ET.CONV, ET.LOCAL):
+            total += 2 * h * w * c * e.kernel_size * e.kernel_size * sc
+        elif e.edge_type == ET.FC:
+            total += 2 * sh * sw * sc * c
+        elif e.edge_type == ET.CONV_ONETOONE:
+            total += 2 * h * w * sc * c
+    return total
+
+
+def main():
+    import jax
+
+    from convnet_tpu import config, model as model_lib
+    from convnet_tpu.data.jitter import JitterSpec
+    from convnet_tpu.graph import build_graph
+    from convnet_tpu.trainer import init_state, make_train_step
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    model = config.read_model(os.path.join(here, "examples/imagenet/alexnet.pbtxt"))
+    model.parallel.data = 1  # single-chip benchmark
+    model.parallel.model = 1
+    graph = build_graph(model)
+
+    batch = int(os.environ.get("BENCH_BATCH", "256"))
+    steps = int(os.environ.get("BENCH_STEPS", "20"))
+    jitter = {
+        "input": (
+            JitterSpec(image_size=224, can_translate=True, can_flip=True, scale=1 / 255),
+            np.full((3,), 0.45, np.float32),
+            None,
+        )
+    }
+    step = make_train_step(graph, jitter)
+    state = init_state(graph)
+    rng = np.random.RandomState(0)
+    data = {
+        "input": jax.device_put(rng.randint(0, 256, (batch, 256, 256, 3), dtype=np.uint8)),
+        "labels": jax.device_put(rng.randint(0, 1000, (batch,), dtype=np.int32)),
+    }
+
+    # warmup / compile (device_get forces a real sync: on the axon
+    # platform block_until_ready returns before execution finishes)
+    for _ in range(3):
+        state, metrics = step(state, data)
+    float(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, metrics = step(state, data)
+    final_loss = float(metrics["loss"])
+    dt = time.perf_counter() - t0
+    assert np.isfinite(final_loss)
+    ips = batch * steps / dt
+
+    # roofline: train step ~ 3x forward conv/fc FLOPs at bf16 peak
+    peaks_tflops = {"tpu": 197.0}  # v5e bf16 peak per chip
+    plat = jax.devices()[0].platform
+    peak = peaks_tflops.get(plat, 197.0) * 1e12
+    train_flops = 3 * conv_flops_per_image(graph)
+    roofline_ips = peak / train_flops
+    print(
+        json.dumps(
+            {
+                "metric": "alexnet_train_images_per_sec_per_chip",
+                "value": round(ips, 1),
+                "unit": "images/sec",
+                "vs_baseline": round(ips / roofline_ips, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,73 @@
+"""Feature-extraction CLI (reference: src/extract_representation.cc [U]).
+
+Loads a model pbtxt + checkpoint, runs fprop over a dataset (no jitter:
+center crop), and streams chosen layers' activations into an output
+HDF5 file — the AlexNet-fc7-embeddings workflow (BASELINE.json
+configs[3]).
+
+Usage:
+    python -m convnet_tpu.cli.extract MODEL.pbtxt DATA.pbtxt \
+        --checkpoint CKPT.h5 --output OUT.h5 --layers fc7 [fc6 ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import numpy as np
+
+from convnet_tpu import checkpoint as ckpt
+from convnet_tpu import config
+from convnet_tpu.data.datahandler import DataHandler
+from convnet_tpu.data.datawriter import DataWriter
+from convnet_tpu.graph import build_graph
+from convnet_tpu.trainer import make_forward
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="convnet_extract", description=__doc__)
+    p.add_argument("model", help="model .pbtxt")
+    p.add_argument("data", help="DatasetConfig .pbtxt to extract over")
+    p.add_argument("--checkpoint", required=True, help="HDF5 checkpoint")
+    p.add_argument("--output", required=True, help="output HDF5 file")
+    p.add_argument("--layers", nargs="+", required=True, help="layer names to dump")
+    p.add_argument("--batch-size", type=int, default=None)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_argparser().parse_args(argv)
+    model = config.read_model(args.model)
+    data_cfg = config.read_dataset_config(args.data)
+    data = DataHandler(
+        data_cfg,
+        batch_size=args.batch_size or model.batch_size,
+        randomize=False,
+    )
+    graph = build_graph(model, data.input_image_sizes())
+    for name in args.layers:
+        graph.layer(name)  # raises KeyError for unknown layers
+    params, _, step = ckpt.load(args.checkpoint)
+    params = jax.tree.map(np.asarray, params)
+    print(f"loaded {args.checkpoint} (step {step})")
+
+    fwd = make_forward(graph, args.layers, data.jitter_specs())
+    dims = {
+        name: int(np.prod(graph.shapes[name])) for name in args.layers
+    }
+    n_batches = data.num_batches
+    with DataWriter(args.output, dims) as writer:
+        for i in range(n_batches):
+            batch = {k: np.asarray(v) for k, v in data.get_batch().items()}
+            acts = jax.device_get(fwd(params, batch))
+            writer.append({name: acts[name] for name in args.layers})
+            if (i + 1) % 50 == 0:
+                print(f"extracted {i + 1}/{n_batches} batches")
+    data.close()
+    print(f"wrote {args.output}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

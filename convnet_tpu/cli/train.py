@@ -1,0 +1,63 @@
+"""Train CLI (reference: src/train_convnet.cc [U]).
+
+Usage:
+    python -m convnet_tpu.cli.train MODEL.pbtxt TRAIN_DATA.pbtxt \
+        [VAL_DATA.pbtxt] [--output-dir DIR] [--max-iter N] [--batch-size N]
+
+Builds the graph from the model pbtxt (input sizes from the data
+config), resumes from the newest checkpoint in the output dir if one
+exists, and runs the jit'd train loop.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from convnet_tpu import config
+from convnet_tpu.data.datahandler import DataHandler
+from convnet_tpu.graph import build_graph
+from convnet_tpu.trainer import Trainer
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="convnet_train", description=__doc__)
+    p.add_argument("model", help="model .pbtxt")
+    p.add_argument("train_data", help="training DatasetConfig .pbtxt")
+    p.add_argument("val_data", nargs="?", default=None, help="validation DatasetConfig .pbtxt")
+    p.add_argument("--output-dir", default=None, help="checkpoint/output directory")
+    p.add_argument("--max-iter", type=int, default=None, help="override model max_iter")
+    p.add_argument("--batch-size", type=int, default=None, help="override batch size")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_argparser().parse_args(argv)
+    model = config.read_model(args.model)
+    if args.batch_size:
+        model.batch_size = args.batch_size
+    train_cfg = config.read_dataset_config(args.train_data)
+    train_data = DataHandler(train_cfg, batch_size=model.batch_size, seed=model.seed)
+    val_data = None
+    if args.val_data:
+        val_cfg = config.read_dataset_config(args.val_data)
+        val_data = DataHandler(val_cfg, batch_size=model.batch_size, randomize=False)
+    graph = build_graph(model, train_data.input_image_sizes())
+    trainer = Trainer(
+        graph,
+        train_data,
+        val_data,
+        checkpoint_dir=args.output_dir,
+    )
+    try:
+        trainer.train(max_iter=args.max_iter)
+        if graph.checkpoint_after:
+            trainer.save()
+    finally:
+        train_data.close()
+        if val_data:
+            val_data.close()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

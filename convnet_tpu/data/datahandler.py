@@ -1,0 +1,278 @@
+"""Host-side data pipeline: streams, shuffle buffer, prefetch thread.
+
+Reference counterpart: DataHandler (src/datahandler.cc [U]) — per-layer
+named streams, chunked reads, CPU-side randomization, and a prefetch
+thread overlapping disk I/O with compute. The on-device half of the
+reference's pipeline (jitter, mean subtraction) lives in
+convnet_tpu.data.jitter and runs inside the jit'd step.
+
+All streams advance in lockstep over one shared index sequence so
+image/label rows stay aligned.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from convnet_tpu.data.jitter import JitterSpec
+from convnet_tpu.proto import convnet_config_pb2 as pb
+
+DT = pb.DataStreamConfig.DataType
+
+
+def _load_mean_std(path: str):
+    import h5py
+
+    with h5py.File(path, "r") as f:
+        mean = f["mean"][...] if "mean" in f else None
+        std = f["std"][...] if "std" in f else None
+    return mean, std
+
+
+class Stream:
+    """One named data source. Subclasses define row count and reads."""
+
+    def __init__(self, cfg: pb.DataStreamConfig):
+        self.cfg = cfg
+
+    @property
+    def num_rows(self) -> int:
+        raise NotImplementedError
+
+    def read_rows(self, indices: np.ndarray) -> np.ndarray:
+        raise NotImplementedError
+
+    def _maybe_reshape_images(self, arr: np.ndarray) -> np.ndarray:
+        """Flat (N, H*W*C) rows -> (N, H, W, C) when the config gives a
+        spatial size (reference stores flattened rows in HDF5 [U])."""
+        size = self.cfg.raw_image_size or self.cfg.image_size
+        if arr.ndim == 2 and size and arr.shape[1] == size * size * self.cfg.num_colors:
+            return arr.reshape(-1, size, size, self.cfg.num_colors)
+        return arr
+
+
+class HDF5Stream(Stream):
+    """Rows of an HDF5 dataset (reference: HDF5 iterators [U])."""
+
+    def __init__(self, cfg: pb.DataStreamConfig):
+        super().__init__(cfg)
+        import h5py
+
+        if not cfg.file_pattern:
+            raise ValueError(f"stream {cfg.layer_name}: HDF5 needs file_pattern")
+        self._file = h5py.File(cfg.file_pattern, "r")
+        key = cfg.dataset_name or cfg.layer_name
+        if key not in self._file:
+            raise KeyError(
+                f"dataset {key!r} not in {cfg.file_pattern} "
+                f"(has {list(self._file.keys())})"
+            )
+        self._ds = self._file[key]
+
+    @property
+    def num_rows(self) -> int:
+        return self._ds.shape[0]
+
+    def read_rows(self, indices: np.ndarray) -> np.ndarray:
+        # h5py fancy indexing requires increasing order; undo afterwards.
+        order = np.argsort(indices, kind="stable")
+        sorted_idx = indices[order]
+        rows = self._ds[sorted_idx]
+        out = np.empty_like(rows)
+        out[order] = rows
+        return self._maybe_reshape_images(out)
+
+
+class DummyStream(Stream):
+    """Synthetic data (testing / benchmarking without files on disk)."""
+
+    def __init__(self, cfg: pb.DataStreamConfig):
+        super().__init__(cfg)
+        self._n = cfg.dummy_size
+        self._rng = np.random.RandomState(hash(cfg.layer_name) % (2**31))
+        size = cfg.raw_image_size or cfg.image_size
+        if size:
+            self._shape = (size, size, cfg.num_colors)
+            self._data = self._rng.randint(0, 256, (self._n,) + self._shape, dtype=np.uint8)
+        else:
+            self._data = self._rng.randint(
+                0, max(2, cfg.dummy_num_classes), (self._n,), dtype=np.int32
+            )
+
+    @property
+    def num_rows(self) -> int:
+        return self._n
+
+    def read_rows(self, indices: np.ndarray) -> np.ndarray:
+        return self._data[indices]
+
+
+def make_stream(cfg: pb.DataStreamConfig) -> Stream:
+    if cfg.data_type == DT.HDF5:
+        return HDF5Stream(cfg)
+    if cfg.data_type == DT.DUMMY:
+        return DummyStream(cfg)
+    if cfg.data_type == DT.IMAGE_RAW:
+        from convnet_tpu.data.image_iterators import RawImageStream
+
+        return RawImageStream(cfg)
+    if cfg.data_type == DT.SLIDING_WINDOW:
+        from convnet_tpu.data.image_iterators import SlidingWindowStream
+
+        return SlidingWindowStream(cfg)
+    if cfg.data_type == DT.TXT:
+        from convnet_tpu.data.image_iterators import TxtStream
+
+        return TxtStream(cfg)
+    raise ValueError(f"unknown data_type {cfg.data_type}")
+
+
+class DataHandler:
+    """Batches over a DatasetConfig (reference: DataHandler::GetBatch [U]).
+
+    randomize=None takes the config's randomize_cpu; pass False for
+    deterministic eval order.
+    """
+
+    def __init__(
+        self,
+        cfg: pb.DatasetConfig,
+        batch_size: Optional[int] = None,
+        randomize: Optional[bool] = None,
+        seed: int = 0,
+    ):
+        if not cfg.data_config:
+            raise ValueError("DatasetConfig has no data_config streams")
+        self.cfg = cfg
+        self.batch_size = batch_size or cfg.batch_size
+        self.randomize = cfg.randomize_cpu if randomize is None else randomize
+        self.streams: Dict[str, Stream] = {
+            c.layer_name: make_stream(c) for c in cfg.data_config
+        }
+        sizes = {n: s.num_rows for n, s in self.streams.items()}
+        self.num_rows = min(sizes.values())
+        if cfg.max_dataset_size > 0:
+            self.num_rows = min(self.num_rows, cfg.max_dataset_size)
+        if len(set(sizes.values())) > 1:
+            # streams may legitimately differ (e.g. capped); warn via print
+            print(f"DataHandler: stream sizes differ {sizes}; using {self.num_rows}")
+        self._rng = np.random.RandomState(seed)
+        self._chunk = max(1, cfg.random_access_chunk_size)
+        self._order = self._make_order()
+        self._pos = 0
+        self._queue: Optional[queue.Queue] = None
+        self._thread: Optional[threading.Thread] = None
+        self._stop = threading.Event()
+        if cfg.pipeline_loads:
+            self._start_prefetch(max(1, cfg.prefetch_depth))
+
+    # -- ordering -----------------------------------------------------------
+
+    def _make_order(self) -> np.ndarray:
+        idx = np.arange(self.num_rows)
+        if self.randomize:
+            # shuffle at random_access_chunk granularity: contiguous
+            # mini-runs keep HDF5 reads mostly sequential (reference:
+            # random_access_chunk_size [U])
+            starts = np.arange(0, self.num_rows, self._chunk)
+            self._rng.shuffle(starts)
+            idx = np.concatenate(
+                [np.arange(s, min(s + self._chunk, self.num_rows)) for s in starts]
+            )
+        return idx
+
+    @property
+    def num_batches(self) -> int:
+        return self.num_rows // self.batch_size
+
+    # -- batch production ---------------------------------------------------
+
+    def _next_indices(self) -> np.ndarray:
+        if self._pos + self.batch_size > self.num_rows:
+            self._order = self._make_order()
+            self._pos = 0
+        idx = self._order[self._pos : self._pos + self.batch_size]
+        self._pos += self.batch_size
+        return idx
+
+    def _produce(self) -> Dict[str, np.ndarray]:
+        idx = self._next_indices()
+        return {name: s.read_rows(idx) for name, s in self.streams.items()}
+
+    def _start_prefetch(self, depth: int):
+        self._queue = queue.Queue(maxsize=depth)
+
+        def worker():
+            while not self._stop.is_set():
+                batch = self._produce()
+                while not self._stop.is_set():
+                    try:
+                        self._queue.put(batch, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+
+        self._thread = threading.Thread(target=worker, daemon=True)
+        self._thread.start()
+
+    def get_batch(self) -> Dict[str, np.ndarray]:
+        """Next {layer_name: rows} batch (blocks on the prefetch queue)."""
+        if self._queue is not None:
+            return self._queue.get()
+        return self._produce()
+
+    def reset(self):
+        """Restart from the beginning (eval epochs)."""
+        self.close()
+        self._pos = 0
+        self._order = self._make_order()
+        self._stop = threading.Event()
+        if self.cfg.pipeline_loads:
+            self._start_prefetch(max(1, self.cfg.prefetch_depth))
+
+    def close(self):
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=2.0)
+            self._thread = None
+        self._queue = None
+
+    # -- metadata for the trainer ------------------------------------------
+
+    def input_image_sizes(self) -> Dict[str, int]:
+        """{layer_name: final (cropped) image size} for image streams."""
+        out = {}
+        for c in self.cfg.data_config:
+            if c.image_size:
+                out[c.layer_name] = c.image_size
+        return out
+
+    def jitter_specs(
+        self,
+    ) -> Dict[str, Tuple[JitterSpec, Optional[np.ndarray], Optional[np.ndarray]]]:
+        """{layer_name: (JitterSpec, mean, std)} for image streams."""
+        out = {}
+        for c in self.cfg.data_config:
+            if not c.image_size:
+                continue
+            mean = std = None
+            if c.mean_file:
+                mean, std = _load_mean_std(c.mean_file)
+                if not c.normalize:
+                    std = None
+            out[c.layer_name] = (
+                JitterSpec(
+                    image_size=c.image_size,
+                    can_translate=c.can_translate,
+                    can_flip=c.can_flip,
+                    scale=c.scale,
+                    normalize=c.normalize,
+                ),
+                mean,
+                std,
+            )
+        return out

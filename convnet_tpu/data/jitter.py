@@ -1,0 +1,94 @@
+"""On-device jitter augmentation (fused into the jit'd step).
+
+Reference counterpart: the GPU-side jitter in DataHandler — random
+crop/translate, horizontal flip, mean/std normalization
+(src/datahandler.cc [U], `[B]` in BASELINE.json). The rebuild runs the
+same transforms as a traced prologue of the train step: the host ships
+raw uint8 batches (4x less PCIe/HBM traffic than float) and the VPU
+does cast + crop + flip + normalize fused with the first conv's input
+pipeline.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass(frozen=True)
+class JitterSpec:
+    """Static per-stream augmentation spec (hashable: arrays live in
+    `mean_std` as numpy and are inlined as jit constants)."""
+
+    image_size: int
+    can_translate: bool = False
+    can_flip: bool = False
+    scale: float = 1.0
+    normalize: bool = False
+
+    def __post_init__(self):
+        if self.image_size <= 0:
+            raise ValueError("image_size must be positive")
+
+
+def jitter_batch(
+    x: jax.Array,
+    spec: JitterSpec,
+    rng: Optional[jax.Array],
+    train: bool,
+    mean: Optional[np.ndarray] = None,
+    std: Optional[np.ndarray] = None,
+) -> jax.Array:
+    """x: (B, H, W, C) raw batch (uint8 or float); returns float32
+    (B, S, S, C) with S = spec.image_size.
+
+    Train: random crop position (if can_translate) + random horizontal
+    flip (if can_flip). Eval: center crop, no flip — matching the
+    reference's train/eval jitter split [U].
+    """
+    b, h, w, c = x.shape
+    s = spec.image_size
+    if h < s or w < s:
+        raise ValueError(f"raw image {h}x{w} smaller than crop {s}")
+
+    x = x.astype(jnp.float32)
+    if spec.scale != 1.0:
+        x = x * spec.scale
+    if mean is not None:
+        m = jnp.asarray(mean, jnp.float32)
+        if m.ndim >= 2 and m.shape[-3] == h:  # raw-size mean: subtract pre-crop
+            x = x - m
+            mean = None
+    if mean is None and std is not None and std.ndim >= 2 and std.shape[-3] == h:
+        x = x / jnp.asarray(std, jnp.float32)
+        std = None
+
+    if h > s or w > s:
+        if train and spec.can_translate:
+            if rng is None:
+                raise ValueError("train jitter needs rng")
+            ky, kx = jax.random.split(jax.random.fold_in(rng, 0))
+            oy = jax.random.randint(ky, (b,), 0, h - s + 1)
+            ox = jax.random.randint(kx, (b,), 0, w - s + 1)
+        else:
+            oy = jnp.full((b,), (h - s) // 2)
+            ox = jnp.full((b,), (w - s) // 2)
+        x = jax.vmap(
+            lambda img, y0, x0: jax.lax.dynamic_slice(img, (y0, x0, 0), (s, s, c))
+        )(x, oy, ox)
+
+    if train and spec.can_flip:
+        if rng is None:
+            raise ValueError("train jitter needs rng")
+        flips = jax.random.bernoulli(jax.random.fold_in(rng, 1), 0.5, (b,))
+        x = jnp.where(flips[:, None, None, None], x[:, :, ::-1, :], x)
+
+    if mean is not None:  # crop-size or per-channel mean
+        x = x - jnp.asarray(mean, jnp.float32)
+    if std is not None:
+        x = x / jnp.asarray(std, jnp.float32)
+    return x

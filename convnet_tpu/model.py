@@ -1,0 +1,245 @@
+"""Model builder: Graph IR -> pure functions.
+
+Reference counterpart: ConvNet::{BuildNet, AllocateMemory, Fprop}
+(src/convnet.cc [U]). Where the reference walks a mutable C++ object
+DAG calling Edge::ComputeUp per step, the rebuild *compiles* the graph
+once into a pure ``apply(params, batch)`` closure that XLA traces and
+fuses end-to-end; Bprop (Edge::ComputeDown + weight grads [U]) is
+``jax.grad`` of the loss.
+
+Params pytree layout::
+
+    params = {edge_name: {"w": ..., "b": ...}, ...}   # weighted edges only
+
+All layer states are NHWC ``(B, H, W, C)``; FC outputs are
+``(B, 1, 1, units)``. Mixed precision: params live in float32; when
+``graph.compute_dtype == "bfloat16"`` the conv/matmul operands are cast
+to bfloat16 with float32 MXU accumulation.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from convnet_tpu.graph import ACT, ET, INIT, LOSS, EdgeSpec, Graph
+from convnet_tpu.ops import losses as losses_ops
+from convnet_tpu.ops.activations import apply_activation
+from convnet_tpu.ops.conv import conv2d, conv_onetoone, fc
+from convnet_tpu.ops.local import local_conv2d, local_weight_shape
+from convnet_tpu.ops.lrn import response_norm_cross_map
+from convnet_tpu.ops.pool import maxpool2d
+from convnet_tpu.ops.resample import downsample, rgb_to_yuv, upsample
+
+Params = Dict[str, Dict[str, jax.Array]]
+
+
+# ---------------------------------------------------------------------------
+# Parameter initialization (reference: EdgeWithWeight init modes [U])
+# ---------------------------------------------------------------------------
+
+
+def _weight_shape(graph: Graph, e: EdgeSpec) -> Tuple[int, ...]:
+    src_h, src_w, src_c = graph.shapes[e.source]
+    dst_h, dst_w, dst_c = graph.shapes[e.dest]
+    if e.edge_type == ET.FC:
+        return (src_h * src_w * src_c, dst_c)
+    if e.edge_type == ET.CONV:
+        return (e.kernel_size, e.kernel_size, src_c, dst_c)
+    if e.edge_type == ET.CONV_ONETOONE:
+        return (src_c, dst_c)
+    if e.edge_type == ET.LOCAL:
+        return local_weight_shape(dst_h, dst_w, e.kernel_size, src_c, dst_c)
+    raise ValueError(f"edge {e.name} has no weights")
+
+
+def _bias_shape(graph: Graph, e: EdgeSpec) -> Tuple[int, ...]:
+    dst_h, dst_w, dst_c = graph.shapes[e.dest]
+    if e.edge_type in (ET.CONV, ET.LOCAL) and not e.shared_bias:
+        return (dst_h, dst_w, dst_c)
+    return (dst_c,)
+
+
+def _fan_in(shape: Tuple[int, ...]) -> int:
+    # all weight layouts here contract over every dim except the last
+    return int(np.prod(shape[:-1]))
+
+
+def _init_weight(rng: jax.Array, e: EdgeSpec, shape) -> jax.Array:
+    kind = e.initialization
+    scale = e.init_wt
+    if kind == INIT.CONSTANT:
+        return jnp.full(shape, scale, jnp.float32)
+    if kind == INIT.DENSE_GAUSSIAN:
+        return scale * jax.random.normal(rng, shape, jnp.float32)
+    if kind == INIT.DENSE_GAUSSIAN_SQRT_FAN_IN:
+        return (scale / math.sqrt(_fan_in(shape))) * jax.random.normal(rng, shape, jnp.float32)
+    if kind == INIT.DENSE_UNIFORM:
+        return jax.random.uniform(rng, shape, jnp.float32, -scale, scale)
+    if kind == INIT.DENSE_UNIFORM_SQRT_FAN_IN:
+        lim = scale / math.sqrt(_fan_in(shape))
+        return jax.random.uniform(rng, shape, jnp.float32, -lim, lim)
+    if kind == INIT.SPARSE_GAUSSIAN:
+        # Sparse init (Martens-style): ~sqrt(fan_in) nonzero inputs per unit.
+        k1, k2 = jax.random.split(rng)
+        w = scale * jax.random.normal(k1, shape, jnp.float32)
+        keep_p = 1.0 / math.sqrt(_fan_in(shape))
+        mask = jax.random.bernoulli(k2, keep_p, shape)
+        return jnp.where(mask, w, 0.0)
+    if kind == INIT.PRETRAINED:
+        # resolved by the trainer via checkpoint loading; gaussian placeholder
+        return scale * jax.random.normal(rng, shape, jnp.float32)
+    raise ValueError(f"unknown initialization {kind}")
+
+
+def init_params(graph: Graph, seed: Optional[int] = None) -> Params:
+    """Allocate and initialize all weighted-edge parameters."""
+    root = jax.random.PRNGKey(graph.seed if seed is None else seed)
+    params: Params = {}
+    for i, e in enumerate(graph.weighted_edges):
+        rng = jax.random.fold_in(root, i)
+        params[e.name] = {
+            "w": _init_weight(rng, e, _weight_shape(graph, e)),
+            "b": jnp.full(_bias_shape(graph, e), e.init_bias, jnp.float32),
+        }
+    # PRETRAINED edges are overwritten from their HDF5 checkpoint.
+    pretrained = [e for e in graph.weighted_edges if e.initialization == INIT.PRETRAINED]
+    if pretrained:
+        from convnet_tpu import checkpoint as ckpt
+
+        for e in pretrained:
+            if not e.pretrained_model:
+                raise ValueError(f"edge {e.name}: PRETRAINED init without pretrained_model")
+            loaded = ckpt.load_edge(e.pretrained_model, e.pretrained_edge_name or e.name)
+            params[e.name] = {k: jnp.asarray(v) for k, v in loaded.items()}
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def _edge_fprop(graph: Graph, e: EdgeSpec, p: Optional[Dict], x: jax.Array, cdt):
+    t = e.edge_type
+    if t == ET.FC:
+        z = fc(x, p["w"], compute_dtype=cdt)
+        z = z + p["b"]
+        return z[:, None, None, :]
+    if t == ET.CONV:
+        z = conv2d(x, p["w"], e.stride, e.padding, compute_dtype=cdt)
+        return z + p["b"]
+    if t == ET.CONV_ONETOONE:
+        return conv_onetoone(x, p["w"], compute_dtype=cdt) + p["b"]
+    if t == ET.LOCAL:
+        z = local_conv2d(x, p["w"], e.stride, e.padding, e.kernel_size, compute_dtype=cdt)
+        return z + p["b"]
+    if t == ET.MAXPOOL:
+        return maxpool2d(x, e.kernel_size, e.stride, e.padding)
+    if t == ET.RESPONSE_NORM:
+        return response_norm_cross_map(
+            x,
+            e.add_scale,
+            e.pow_scale,
+            e.frac_of_filters_response_norm,
+            e.response_norm_blocked,
+        )
+    if t == ET.UPSAMPLE:
+        return upsample(x, e.sample_factor)
+    if t == ET.DOWNSAMPLE:
+        return downsample(x, e.sample_factor)
+    if t == ET.RGBTOYUV:
+        return rgb_to_yuv(x)
+    raise ValueError(f"unknown edge type {t}")
+
+
+def apply_fn(
+    graph: Graph,
+    params: Params,
+    batch: Dict[str, jax.Array],
+    *,
+    train: bool = False,
+    dropout_rng: Optional[jax.Array] = None,
+    return_layers: Optional[List[str]] = None,
+) -> Dict[str, jax.Array]:
+    """Run fprop. `batch` maps each input layer's data_field to a
+    (B, H, W, C) array. Returns {layer_name: activation} for
+    `return_layers` (default: all layers) plus "<name>:preact" for
+    output layers (the logits the losses consume)."""
+    cdt = jnp.bfloat16 if graph.compute_dtype == "bfloat16" else None
+    acts: Dict[str, jax.Array] = {}
+    out: Dict[str, jax.Array] = {}
+    want = set(return_layers) if return_layers is not None else None
+
+    for l in graph.input_layers:
+        x = batch[l.data_field]
+        if x.ndim != 4:
+            raise ValueError(f"input {l.name}: expected NHWC, got shape {x.shape}")
+        acts[l.name] = x
+
+    drop_i = 0
+    for name in graph.topo_layer_order():
+        l = graph.layer(name)
+        if not l.is_input:
+            z = None
+            for e in graph.incoming(name):
+                p = params.get(e.name)
+                contrib = _edge_fprop(graph, e, p, acts[e.source], cdt)
+                z = contrib if z is None else z + contrib
+            if l.is_output:
+                out[f"{name}:preact"] = z.reshape(z.shape[0], -1)
+            a = apply_activation(z, l.activation)
+            if train and l.dropprob > 0.0:
+                if dropout_rng is None:
+                    raise ValueError("train=True with dropout needs dropout_rng")
+                keep = 1.0 - l.dropprob
+                mask = jax.random.bernoulli(
+                    jax.random.fold_in(dropout_rng, drop_i), keep, a.shape
+                )
+                a = jnp.where(mask, a / keep, 0.0)  # inverted dropout
+            drop_i += 1
+            acts[name] = a
+        if want is None or name in want:
+            out[name] = acts[name]
+    return out
+
+
+def loss_fn(
+    graph: Graph,
+    params: Params,
+    batch: Dict[str, jax.Array],
+    *,
+    train: bool = True,
+    dropout_rng: Optional[jax.Array] = None,
+):
+    """Mean loss over the batch + aux metrics.
+
+    Targets live in `batch` keyed by each output layer's data_field
+    (e.g. "labels"). Returns (loss, {"errors": n_mistakes, ...}).
+    """
+    outs = apply_fn(
+        graph, params, batch, train=train, dropout_rng=dropout_rng, return_layers=[]
+    )
+    total = 0.0
+    metrics: Dict[str, jax.Array] = {}
+    batch_size = None
+    for l in graph.output_layers:
+        logits = outs[f"{l.name}:preact"]
+        batch_size = logits.shape[0]
+        target = batch[l.data_field]
+        if l.loss_function == LOSS.CROSS_ENTROPY_MULTINOMIAL:
+            target = target.reshape(-1)
+        else:
+            target = target.reshape(target.shape[0], -1)
+        total = total + losses_ops.compute_loss(l.loss_function, logits, target)
+        if l.loss_function == LOSS.CROSS_ENTROPY_MULTINOMIAL:
+            metrics[f"{l.name}/errors"] = losses_ops.classification_errors(
+                logits, target
+            )
+    loss = total / batch_size
+    metrics["loss"] = loss
+    return loss, metrics

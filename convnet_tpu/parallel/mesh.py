@@ -1,0 +1,94 @@
+"""Mesh construction and sharding rules.
+
+The reference's only parallelism is intra-node model-split: layers
+pinned to gpu_ids, activations memcpy'd across device boundaries
+(src/multigpu_convnet.cc [U]). Here that seam becomes declared
+shardings over a Mesh:
+
+- axis "data": batch dimension of every activation; gradient psum over
+  ICI is inserted by XLA because params are replicated along it.
+- axis "model": output-unit dimension of large FC weights (Megatron
+  column-parallel analog of the reference's layer pinning); XLA
+  propagates and inserts all-gather/reduce-scatter at the boundaries.
+
+Conv weights are replicated: at AlexNet scale they are small relative
+to activations, and replication keeps the conv MXU tiling unconstrained.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from convnet_tpu.graph import ET, Graph
+
+#: Only FC weight matrices at least this many output units get
+#: model-sharded; smaller ones are replicated (collective overhead
+#: would dominate).
+MIN_MODEL_SHARD_UNITS = 512
+
+
+def make_mesh(
+    data: int = 1, model: int = 1, devices: Optional[list] = None
+) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    need = data * model
+    if len(devices) < need:
+        raise ValueError(
+            f"mesh {data}x{model} needs {need} devices, have {len(devices)}"
+        )
+    dev_array = np.array(devices[:need]).reshape(data, model)
+    return Mesh(dev_array, ("data", "model"))
+
+
+def mesh_for_graph(graph: Graph, devices: Optional[list] = None) -> Optional[Mesh]:
+    """Mesh from the model's `parallel {}` block; None for single-device.
+
+    If the requested mesh is larger than the available device count, it
+    is clamped (so a pbtxt written for a v5e-8 still runs on one chip).
+    """
+    devices = devices if devices is not None else jax.devices()
+    data, model = graph.parallel_data, graph.parallel_model
+    while data * model > len(devices) and data > 1:
+        data //= 2
+    while data * model > len(devices) and model > 1:
+        model //= 2
+    if data * model == 1:
+        return None
+    return make_mesh(data, model, devices)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P("data"))
+
+
+def _edge_pspec(graph: Graph, edge_name: str, leaf: str) -> P:
+    e = graph.edge(edge_name)
+    if e.edge_type == ET.FC:
+        dst_c = graph.shapes[e.dest][2]
+        if dst_c >= MIN_MODEL_SHARD_UNITS:
+            # column-parallel: shard output units
+            return P(None, "model") if leaf == "w" else P("model")
+    return P()  # replicated
+
+
+def param_shardings(graph: Graph, mesh: Mesh) -> Dict:
+    """NamedSharding pytree matching the params pytree."""
+    out = {}
+    for e in graph.weighted_edges:
+        out[e.name] = {
+            "w": NamedSharding(mesh, _edge_pspec(graph, e.name, "w")),
+            "b": NamedSharding(mesh, _edge_pspec(graph, e.name, "b")),
+        }
+    return out
+
+
+def state_shardings(graph: Graph, mesh: Mesh) -> Dict:
+    """Shardings for the full TrainState pytree (params + momentum mirrors
+    + replicated scalars)."""
+    ps = param_shardings(graph, mesh)
+    rep = NamedSharding(mesh, P())
+    return {"params": ps, "moms": ps, "step": rep, "rng": rep}

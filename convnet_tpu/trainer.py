@@ -1,0 +1,241 @@
+"""Training runtime: jit'd train/eval steps + the step loop.
+
+Reference counterpart: ConvNet::{Train, TrainOneBatch, Validate}
+(src/convnet.cc [U]) and the multi-GPU variant (src/multigpu_convnet.cc
+[U]). The reference's per-batch walk (Fprop -> ComputeDeriv -> Bprop ->
+UpdateWeights) compiles here into ONE XLA program: on-device jitter
+prologue, forward, autodiff backward, and the per-edge SGD update are
+fused and traced once; the Python loop only feeds raw uint8 batches and
+reads back scalar metrics. Double-buffering: batches for step N+1 are
+dispatched (device_put) while step N runs, JAX's async dispatch
+providing the overlap the reference builds with a prefetch thread +
+pinned staging.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from convnet_tpu import checkpoint as ckpt
+from convnet_tpu import model as model_lib
+from convnet_tpu import optim
+from convnet_tpu.data.datahandler import DataHandler
+from convnet_tpu.data.jitter import JitterSpec, jitter_batch
+from convnet_tpu.graph import Graph
+from convnet_tpu.parallel import mesh as mesh_lib
+
+TrainState = Dict[str, Any]  # {"params", "moms", "step", "rng"}
+
+JitterMap = Dict[str, Tuple[JitterSpec, Optional[np.ndarray], Optional[np.ndarray]]]
+
+
+def init_state(graph: Graph, seed: Optional[int] = None) -> TrainState:
+    params = model_lib.init_params(graph, seed)
+    return {
+        "params": params,
+        "moms": optim.init_momentum(params),
+        "step": jnp.zeros((), jnp.int32),
+        "rng": jax.random.PRNGKey(graph.seed if seed is None else seed),
+    }
+
+
+def _preprocess(graph: Graph, jitter: Optional[JitterMap], batch, rng, train: bool):
+    """Apply the fused on-device jitter prologue to image inputs."""
+    if not jitter:
+        return {k: v.astype(jnp.float32) if v.dtype == jnp.uint8 else v for k, v in batch.items()}
+    out = dict(batch)
+    for field, (spec, mean, std) in jitter.items():
+        jrng = None
+        if rng is not None:
+            jrng = jax.random.fold_in(rng, hash(field) % (2**31))
+        out[field] = jitter_batch(out[field], spec, jrng, train, mean, std)
+    return out
+
+
+def make_train_step(graph: Graph, jitter: Optional[JitterMap] = None, mesh=None):
+    """Build the jit'd (state, batch) -> (state, metrics) step."""
+
+    def step_fn(state: TrainState, batch):
+        rng = jax.random.fold_in(state["rng"], state["step"])
+        data_rng, drop_rng = jax.random.split(rng)
+        proc = _preprocess(graph, jitter, batch, data_rng, train=True)
+
+        def loss_of(params):
+            return model_lib.loss_fn(
+                graph, params, proc, train=True, dropout_rng=drop_rng
+            )
+
+        (_, metrics), grads = jax.value_and_grad(loss_of, has_aux=True)(
+            state["params"]
+        )
+        new_params, new_moms = optim.apply_updates(
+            graph, state["params"], state["moms"], grads, state["step"]
+        )
+        new_state = {
+            "params": new_params,
+            "moms": new_moms,
+            "step": state["step"] + 1,
+            "rng": state["rng"],
+        }
+        return new_state, metrics
+
+    if mesh is not None:
+        ss = mesh_lib.state_shardings(graph, mesh)
+        bs = mesh_lib.batch_sharding(mesh)
+        return jax.jit(
+            step_fn,
+            in_shardings=(ss, bs),
+            out_shardings=(ss, None),
+            donate_argnums=(0,),
+        )
+    return jax.jit(step_fn, donate_argnums=(0,))
+
+
+def make_eval_step(graph: Graph, jitter: Optional[JitterMap] = None, mesh=None):
+    """(params, batch) -> metrics; center-crop, no dropout."""
+
+    def eval_fn(params, batch):
+        proc = _preprocess(graph, jitter, batch, None, train=False)
+        _, metrics = model_lib.loss_fn(graph, params, proc, train=False)
+        return metrics
+
+    if mesh is not None:
+        ps = mesh_lib.param_shardings(graph, mesh)
+        bs = mesh_lib.batch_sharding(mesh)
+        return jax.jit(eval_fn, in_shardings=(ps, bs), out_shardings=None)
+    return jax.jit(eval_fn)
+
+
+def make_forward(graph: Graph, layers: List[str], jitter: Optional[JitterMap] = None):
+    """(params, batch) -> {layer: activations} for feature extraction."""
+
+    def fwd(params, batch):
+        proc = _preprocess(graph, jitter, batch, None, train=False)
+        return model_lib.apply_fn(graph, params, proc, train=False, return_layers=layers)
+
+    return jax.jit(fwd)
+
+
+class Trainer:
+    """Owns the state, data handlers, and the step loop.
+
+    Reference: ConvNet::Train [U] — periodic display, validation every
+    `validate_after`, timestamped checkpoint every `checkpoint_after`,
+    resume from the newest checkpoint in checkpoint_dir.
+    """
+
+    def __init__(
+        self,
+        graph: Graph,
+        train_data: DataHandler,
+        val_data: Optional[DataHandler] = None,
+        checkpoint_dir: Optional[str] = None,
+        mesh=None,
+        log_fn=print,
+    ):
+        self.graph = graph
+        self.train_data = train_data
+        self.val_data = val_data
+        self.checkpoint_dir = checkpoint_dir or graph.checkpoint_dir or "."
+        self.mesh = mesh if mesh is not None else mesh_lib.mesh_for_graph(graph)
+        self.log = log_fn
+        jitter = train_data.jitter_specs()
+        eval_jitter = val_data.jitter_specs() if val_data is not None else jitter
+        self._train_step = make_train_step(graph, jitter, self.mesh)
+        self._eval_step = make_eval_step(graph, eval_jitter, self.mesh)
+        self.state = init_state(graph)
+        self._resume()
+
+    # -- checkpointing ------------------------------------------------------
+
+    def _resume(self):
+        path = ckpt.latest(self.checkpoint_dir, self.graph.name)
+        if path:
+            params, moms, step = ckpt.load(path)
+            expect = {e.name for e in self.graph.weighted_edges}
+            if set(params) != expect:
+                raise ValueError(
+                    f"checkpoint {path} edges {sorted(params)} != model {sorted(expect)}"
+                )
+            self.state["params"] = jax.tree.map(jnp.asarray, params)
+            if moms is not None:
+                self.state["moms"] = jax.tree.map(jnp.asarray, moms)
+            self.state["step"] = jnp.asarray(step, jnp.int32)
+            self.log(f"resumed from {path} at step {step}")
+
+    def save(self):
+        step = int(self.state["step"])
+        params = jax.device_get(self.state["params"])
+        moms = jax.device_get(self.state["moms"])
+        path = ckpt.save(
+            self.checkpoint_dir, self.graph.name, params, moms, step=step
+        )
+        self.log(f"checkpoint -> {path}")
+        return path
+
+    # -- loops --------------------------------------------------------------
+
+    def _device_batch(self, host_batch):
+        if self.mesh is not None:
+            bs = mesh_lib.batch_sharding(self.mesh)
+            return {k: jax.device_put(v, bs) for k, v in host_batch.items()}
+        return {k: jnp.asarray(v) for k, v in host_batch.items()}
+
+    def train(self, max_iter: Optional[int] = None):
+        g = self.graph
+        total = max_iter if max_iter is not None else g.max_iter
+        window_metrics: List[Dict] = []
+        t0 = time.time()
+        next_batch = self._device_batch(self.train_data.get_batch())
+        start_step = int(self.state["step"])
+        for it in range(start_step, total):
+            batch = next_batch
+            self.state, metrics = self._train_step(self.state, batch)
+            # overlap: stage the next batch while the step executes
+            if it + 1 < total:
+                next_batch = self._device_batch(self.train_data.get_batch())
+            window_metrics.append(metrics)
+
+            step_no = it + 1
+            if g.display_after and step_no % g.display_after == 0:
+                ms = jax.device_get(window_metrics)
+                loss = float(np.mean([m["loss"] for m in ms]))
+                errs = sum(
+                    float(m[k]) for m in ms for k in m if k.endswith("/errors")
+                )
+                seen = len(ms) * self.train_data.batch_size
+                dt = time.time() - t0
+                ips = seen / dt if dt > 0 else 0.0
+                self.log(
+                    f"step {step_no} loss {loss:.4f} train_err {errs / max(1, seen):.4f} "
+                    f"({ips:.1f} img/s)"
+                )
+                window_metrics = []
+                t0 = time.time()
+            if g.validate_after and self.val_data and step_no % g.validate_after == 0:
+                verr, vloss = self.validate()
+                self.log(f"step {step_no} VALIDATION loss {vloss:.4f} err {verr:.4f}")
+                t0 = time.time()
+            if g.checkpoint_after and step_no % g.checkpoint_after == 0:
+                self.save()
+                t0 = time.time()
+        return self.state
+
+    def validate(self, num_batches: Optional[int] = None) -> Tuple[float, float]:
+        assert self.val_data is not None
+        n = num_batches or self.graph.validate_batches or self.val_data.num_batches
+        n = max(1, min(n, self.val_data.num_batches))
+        tot_err = tot_loss = seen = 0.0
+        for _ in range(n):
+            batch = self._device_batch(self.val_data.get_batch())
+            m = jax.device_get(self._eval_step(self.state["params"], batch))
+            tot_loss += float(m["loss"]) * self.val_data.batch_size
+            tot_err += sum(float(m[k]) for k in m if k.endswith("/errors"))
+            seen += self.val_data.batch_size
+        return tot_err / seen, tot_loss / seen

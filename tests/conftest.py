@@ -2,14 +2,23 @@
 
 Multi-chip hardware is unavailable here (one physical TPU v5e chip);
 sharding logic is validated on virtual CPU devices per SURVEY.md §4.
-These env vars must be set before jax is first imported anywhere.
+
+Note: this environment's sitecustomize registers the `axon` TPU PJRT
+plugin at interpreter startup and jax captures JAX_PLATFORMS from the
+host env before conftest runs, so setting os.environ alone is NOT
+enough — jax.config.update must override it before any backend is
+initialized.
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "--xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

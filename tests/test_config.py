@@ -11,7 +11,10 @@ from convnet_tpu.graph import ACT, ET, LOSS, build_graph, conv_out_size
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 EXAMPLE_PBTXTS = sorted(glob.glob(os.path.join(REPO, "examples", "*", "*.pbtxt")))
-MODEL_PBTXTS = [p for p in EXAMPLE_PBTXTS if "data" not in os.path.basename(p)]
+# model pbtxts only — data configs (DatasetConfig) contain "data_config {"
+MODEL_PBTXTS = [
+    p for p in EXAMPLE_PBTXTS if "data_config" not in open(p).read()
+]
 
 
 def test_examples_exist():

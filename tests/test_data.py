@@ -1,0 +1,226 @@
+"""Data pipeline: on-device jitter, HDF5 streams, image iterators, the
+native C++ loader (when built), and the DataWriter."""
+
+import os
+import subprocess
+
+import h5py
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from convnet_tpu import config
+from convnet_tpu.data.datahandler import DataHandler, HDF5Stream
+from convnet_tpu.data.datawriter import DataWriter
+from convnet_tpu.data.jitter import JitterSpec, jitter_batch
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+# ---------------------------------------------------------------------------
+# jitter
+# ---------------------------------------------------------------------------
+
+
+def test_center_crop_eval():
+    x = jnp.asarray(np.arange(6 * 6).reshape(1, 6, 6, 1).astype(np.float32))
+    spec = JitterSpec(image_size=4)
+    out = jitter_batch(x, spec, None, train=False)
+    np.testing.assert_array_equal(
+        np.asarray(out)[0, :, :, 0], np.asarray(x)[0, 1:5, 1:5, 0]
+    )
+
+
+def test_random_crop_train_in_bounds():
+    rng = jax.random.PRNGKey(0)
+    x = jnp.asarray(np.random.RandomState(0).rand(8, 10, 10, 3).astype(np.float32))
+    spec = JitterSpec(image_size=6, can_translate=True, can_flip=True)
+    out = np.asarray(jitter_batch(x, spec, rng, train=True))
+    assert out.shape == (8, 6, 6, 3)
+    # every crop must be a contiguous window of the source
+    src = np.asarray(x)
+    for b in range(8):
+        found = False
+        for oy in range(5):
+            for ox in range(5):
+                win = src[b, oy : oy + 6, ox : ox + 6, :]
+                if np.allclose(out[b], win) or np.allclose(out[b], win[:, ::-1, :]):
+                    found = True
+                    break
+            if found:
+                break
+        assert found, f"crop {b} is not a window of the source"
+
+
+def test_mean_std_normalization_per_channel():
+    x = jnp.full((2, 4, 4, 3), 10.0)
+    spec = JitterSpec(image_size=4, scale=0.5)
+    mean = np.array([1.0, 2.0, 3.0], np.float32)
+    std = np.array([2.0, 2.0, 2.0], np.float32)
+    out = np.asarray(jitter_batch(x, spec, None, train=False, mean=mean, std=std))
+    np.testing.assert_allclose(out[0, 0, 0], (10 * 0.5 - mean) / std, rtol=1e-6)
+
+
+def test_raw_size_mean_subtracted_before_crop():
+    x = jnp.zeros((1, 6, 6, 1))
+    mean = np.arange(36, dtype=np.float32).reshape(6, 6, 1)
+    spec = JitterSpec(image_size=4)
+    out = np.asarray(jitter_batch(x, spec, None, train=False, mean=mean))
+    np.testing.assert_array_equal(out[0, :, :, 0], -mean[1:5, 1:5, 0])
+
+
+def test_uint8_input_cast():
+    x = jnp.asarray(np.full((1, 4, 4, 1), 255, np.uint8))
+    out = jitter_batch(x, JitterSpec(image_size=4, scale=1 / 255), None, train=False)
+    assert out.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(out), 1.0, rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# HDF5 stream + flat-row reshape
+# ---------------------------------------------------------------------------
+
+
+def test_hdf5_stream_flat_rows_reshape(tmp_path):
+    path = str(tmp_path / "d.h5")
+    data = np.random.RandomState(0).randint(0, 255, (20, 8 * 8 * 3), dtype=np.uint8)
+    with h5py.File(path, "w") as f:
+        f.create_dataset("input", data=data)
+    cfg = config.parse_dataset_config(
+        f"""
+        name: "t"
+        data_config {{ layer_name: "input" data_type: HDF5 file_pattern: "{path}"
+                      raw_image_size: 8 num_colors: 3 }}
+        """
+    ).data_config[0]
+    s = HDF5Stream(cfg)
+    rows = s.read_rows(np.array([3, 1, 17]))
+    assert rows.shape == (3, 8, 8, 3)
+    np.testing.assert_array_equal(rows[1].reshape(-1), data[1])
+    np.testing.assert_array_equal(rows[0].reshape(-1), data[3])  # order preserved
+
+
+def test_hdf5_datahandler_end_to_end(tmp_path):
+    path = str(tmp_path / "d.h5")
+    n = 64
+    imgs = np.random.RandomState(1).randint(0, 255, (n, 6, 6, 1), dtype=np.uint8)
+    labels = np.arange(n) % 10
+    with h5py.File(path, "w") as f:
+        f.create_dataset("data", data=imgs)
+        f.create_dataset("labels", data=labels)
+    cfg = config.parse_dataset_config(
+        f"""
+        name: "t"
+        batch_size: 16
+        pipeline_loads: true
+        randomize_cpu: true
+        data_config {{ layer_name: "input" data_type: HDF5 file_pattern: "{path}"
+                      dataset_name: "data" image_size: 6 num_colors: 1 }}
+        data_config {{ layer_name: "labels" data_type: HDF5 file_pattern: "{path}"
+                      dataset_name: "labels" }}
+        """
+    )
+    dh = DataHandler(cfg, seed=0)
+    b = dh.get_batch()
+    assert b["input"].shape == (16, 6, 6, 1)
+    # alignment through shuffle: label must match its image
+    for k in range(16):
+        row = np.where((imgs == b["input"][k]).all(axis=(1, 2, 3)))[0]
+        assert labels[row[0]] == b["labels"][k]
+    dh.close()
+
+
+# ---------------------------------------------------------------------------
+# image files: PIL path vs native C++ loader
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def jpeg_dir(tmp_path_factory):
+    from PIL import Image
+
+    d = tmp_path_factory.mktemp("jpegs")
+    rng = np.random.RandomState(0)
+    paths = []
+    for i, (w, h) in enumerate([(40, 30), (30, 40), (64, 64), (25, 50)]):
+        arr = rng.randint(0, 255, (h, w, 3), dtype=np.uint8)
+        p = str(d / f"img{i}.jpg")
+        Image.fromarray(arr).save(p, quality=95)
+        paths.append(p)
+    listfile = str(d / "list.txt")
+    with open(listfile, "w") as f:
+        f.write("\n".join(paths))
+    return listfile, paths
+
+
+def test_raw_image_stream(jpeg_dir):
+    listfile, paths = jpeg_dir
+    cfg = config.parse_dataset_config(
+        f"""
+        name: "imgs"
+        data_config {{ layer_name: "input" data_type: IMAGE_RAW file_pattern: "{listfile}"
+                      image_size: 20 raw_image_size: 24 num_colors: 3 }}
+        """
+    ).data_config[0]
+    from convnet_tpu.data.image_iterators import RawImageStream
+
+    s = RawImageStream(cfg)
+    assert s.num_rows == 4
+    rows = s.read_rows(np.array([0, 2, 3]))
+    assert rows.shape == (3, 24, 24, 3) and rows.dtype == np.uint8
+    assert rows.std() > 1  # actual image content, not zeros
+
+
+def test_native_loader_matches_pil(jpeg_dir):
+    from convnet_tpu.data import native
+
+    if not native.available():
+        subprocess.run(["make", "-C", os.path.join(REPO, "native")], check=True)
+        native._lib = None
+    assert native.available(), "native loader should build in this environment"
+    listfile, paths = jpeg_dir
+    loader = native.NativeImageLoader(paths, 24, 3, threads=4)
+    got = loader.load(np.array([0, 1, 2, 3]))
+    assert got.shape == (4, 24, 24, 3)
+    from convnet_tpu.data.image_iterators import decode_and_resize
+
+    for i in range(4):
+        want = decode_and_resize(paths[i], 24, 3)
+        # different bilinear implementations: allow small per-pixel delta
+        diff = np.abs(got[i].astype(int) - want.astype(int))
+        assert np.mean(diff) < 6.0, f"image {i}: mean abs diff {np.mean(diff)}"
+
+
+def test_sliding_window_stream(jpeg_dir):
+    listfile, _ = jpeg_dir
+    cfg = config.parse_dataset_config(
+        f"""
+        name: "win"
+        data_config {{ layer_name: "input" data_type: SLIDING_WINDOW file_pattern: "{listfile}"
+                      image_size: 16 window_stride: 8 num_colors: 3 }}
+        """
+    ).data_config[0]
+    from convnet_tpu.data.image_iterators import SlidingWindowStream
+
+    s = SlidingWindowStream(cfg)
+    assert s.num_rows > 4  # multiple windows per image
+    rows = s.read_rows(np.arange(3))
+    assert rows.shape == (3, 16, 16, 3)
+
+
+# ---------------------------------------------------------------------------
+# DataWriter
+# ---------------------------------------------------------------------------
+
+
+def test_datawriter_appends(tmp_path):
+    path = str(tmp_path / "out.h5")
+    with DataWriter(path, {"fc7": 8}) as w:
+        w.append({"fc7": np.ones((4, 2, 2, 2))})
+        w.append({"fc7": np.zeros((3, 8))})
+    with h5py.File(path, "r") as f:
+        assert f["fc7"].shape == (7, 8)
+        np.testing.assert_array_equal(f["fc7"][:4], 1.0)
+        np.testing.assert_array_equal(f["fc7"][4:], 0.0)

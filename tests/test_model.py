@@ -1,0 +1,129 @@
+"""Model builder + gradient checks (the reference's grad_check oracle,
+src/grad_check.cc [U], reproduced as unit tests)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from convnet_tpu import config, model as model_lib
+from convnet_tpu.cli.grad_check import check_graph, synth_batch
+from convnet_tpu.graph import build_graph
+
+TINY_NET = """
+name: "tiny"
+seed: 7
+layer { name: "input" is_input: true num_channels: 3 image_size: 8 }
+layer { name: "conv1" num_channels: 8 activation: RECTIFIED_LINEAR }
+layer { name: "rnorm1" num_channels: 8 }
+layer { name: "pool1" num_channels: 8 }
+layer { name: "local1" num_channels: 6 activation: RECTIFIED_LINEAR }
+layer { name: "onexone" num_channels: 4 activation: TANH }
+layer { name: "fc1" num_channels: 16 activation: LOGISTIC }
+layer { name: "output" is_output: true num_channels: 5 activation: SOFTMAX data_field: "labels" }
+edge { source: "input" dest: "conv1" edge_type: CONV kernel_size: 3 stride: 1 padding: 1
+       initialization: DENSE_GAUSSIAN init_wt: 0.1 }
+edge { source: "conv1" dest: "rnorm1" edge_type: RESPONSE_NORM
+       add_scale: 0.01 pow_scale: 0.75 frac_of_filters_response_norm: 0.5 }
+edge { source: "rnorm1" dest: "pool1" edge_type: MAXPOOL kernel_size: 2 stride: 2 }
+edge { source: "pool1" dest: "local1" edge_type: LOCAL kernel_size: 3 stride: 1 padding: 1
+       initialization: DENSE_GAUSSIAN init_wt: 0.1 init_bias: 0.05 }
+edge { source: "local1" dest: "onexone" edge_type: CONV_ONETOONE
+       initialization: DENSE_GAUSSIAN init_wt: 0.2 }
+edge { source: "onexone" dest: "fc1" edge_type: FC
+       initialization: DENSE_GAUSSIAN_SQRT_FAN_IN init_wt: 1.0 }
+edge { source: "fc1" dest: "output" edge_type: FC
+       initialization: DENSE_GAUSSIAN_SQRT_FAN_IN init_wt: 1.0 }
+"""
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    return build_graph(config.parse_model(TINY_NET))
+
+
+def test_init_param_shapes(tiny):
+    params = model_lib.init_params(tiny)
+    assert params["input:conv1"]["w"].shape == (3, 3, 3, 8)
+    assert params["input:conv1"]["b"].shape == (8,)
+    assert params["pool1:local1"]["w"].shape == (4, 4, 3 * 3 * 8, 6)
+    assert params["local1:onexone"]["w"].shape == (6, 4)
+    assert params["onexone:fc1"]["w"].shape == (4 * 4 * 4, 16)
+    assert params["fc1:output"]["w"].shape == (16, 5)
+
+
+def test_forward_shapes_and_determinism(tiny):
+    params = model_lib.init_params(tiny)
+    rng = np.random.RandomState(0)
+    batch = synth_batch(tiny, 4, rng)
+    out1 = model_lib.apply_fn(tiny, params, batch)
+    out2 = model_lib.apply_fn(tiny, params, batch)
+    assert out1["conv1"].shape == (4, 8, 8, 8)
+    assert out1["pool1"].shape == (4, 4, 4, 8)
+    assert out1["local1"].shape == (4, 4, 4, 6)
+    assert out1["output"].shape == (4, 1, 1, 5)
+    # softmax activation sums to 1
+    np.testing.assert_allclose(
+        np.asarray(out1["output"]).sum(-1), np.ones((4, 1, 1)), rtol=1e-5
+    )
+    np.testing.assert_array_equal(np.asarray(out1["output"]), np.asarray(out2["output"]))
+
+
+def test_dropout_train_vs_eval():
+    m = config.parse_model(
+        """
+        name: "d"
+        layer { name: "input" is_input: true num_channels: 8 }
+        layer { name: "h" num_channels: 32 activation: RECTIFIED_LINEAR dropprob: 0.5 }
+        layer { name: "output" is_output: true num_channels: 4 activation: SOFTMAX data_field: "labels" }
+        edge { source: "input" dest: "h" edge_type: FC initialization: CONSTANT init_wt: 0.1 }
+        edge { source: "h" dest: "output" edge_type: FC initialization: CONSTANT init_wt: 0.1 }
+        """
+    )
+    g = build_graph(m)
+    params = model_lib.init_params(g)
+    x = {"input": jnp.ones((2, 1, 1, 8))}
+    eval_out = model_lib.apply_fn(g, params, x)["h"]
+    rng = jax.random.PRNGKey(0)
+    train_out = model_lib.apply_fn(g, params, x, train=True, dropout_rng=rng)["h"]
+    # some units must be zeroed at train time, none at eval
+    assert np.asarray(eval_out).min() > 0
+    assert (np.asarray(train_out) == 0).any()
+    # inverted dropout: surviving units scaled by 1/keep
+    nz = np.asarray(train_out)[np.asarray(train_out) > 0]
+    np.testing.assert_allclose(nz, 2 * np.asarray(eval_out).max(), rtol=1e-5)
+
+
+def test_grad_check_all_edge_types(tiny):
+    failures, max_rel = check_graph(tiny, batch_size=4, samples=6, log=lambda *_: None)
+    assert failures == 0, f"gradient check failed (max rel err {max_rel})"
+
+
+def test_multi_output_and_multi_input_grads():
+    m = config.parse_model(
+        """
+        name: "multi"
+        layer { name: "input" is_input: true num_channels: 6 }
+        layer { name: "h" num_channels: 12 activation: TANH }
+        layer { name: "out_a" is_output: true num_channels: 3 activation: SOFTMAX data_field: "labels_a" }
+        layer { name: "out_b" is_output: true num_channels: 4 activation: LOGISTIC data_field: "labels_b" }
+        edge { source: "input" dest: "h" edge_type: FC initialization: DENSE_GAUSSIAN init_wt: 0.3 }
+        edge { source: "input" dest: "out_a" edge_type: FC initialization: DENSE_GAUSSIAN init_wt: 0.3 }
+        edge { source: "h" dest: "out_a" edge_type: FC initialization: DENSE_GAUSSIAN init_wt: 0.3 }
+        edge { source: "h" dest: "out_b" edge_type: FC initialization: DENSE_GAUSSIAN init_wt: 0.3 }
+        """
+    )
+    g = build_graph(m)
+    failures, max_rel = check_graph(g, batch_size=4, samples=8, log=lambda *_: None)
+    assert failures == 0, f"max rel err {max_rel}"
+
+
+def test_bfloat16_compute_close_to_f32(tiny):
+    params = model_lib.init_params(tiny)
+    rng = np.random.RandomState(1)
+    batch = synth_batch(tiny, 4, rng)
+    bf = build_graph(config.parse_model(TINY_NET.replace('name: "tiny"', 'name: "tiny" compute_dtype: "bfloat16"')))
+    out32 = model_lib.apply_fn(tiny, params, batch)["output"]
+    out16 = model_lib.apply_fn(bf, params, batch)["output"]
+    np.testing.assert_allclose(np.asarray(out32), np.asarray(out16), atol=0.05)

@@ -1,0 +1,108 @@
+"""Mesh / sharding tests on the 8-device virtual CPU mesh
+(SURVEY.md §4 implication (d): multi-chip logic without a cluster)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from convnet_tpu import config, model as model_lib
+from convnet_tpu.graph import build_graph
+from convnet_tpu.parallel import mesh as mesh_lib
+from convnet_tpu.trainer import init_state, make_train_step
+
+NET = """
+name: "par"
+seed: 1
+parallel { data: 4 model: 2 }
+layer { name: "input" is_input: true num_channels: 3 image_size: 16 }
+layer { name: "conv1" num_channels: 16 activation: RECTIFIED_LINEAR }
+layer { name: "pool1" num_channels: 16 }
+layer { name: "fc1" num_channels: 512 activation: RECTIFIED_LINEAR dropprob: 0.5 }
+layer { name: "output" is_output: true num_channels: 10 activation: SOFTMAX data_field: "labels" }
+edge { source: "input" dest: "conv1" edge_type: CONV kernel_size: 3 stride: 1 padding: 1
+       initialization: DENSE_GAUSSIAN init_wt: 0.1
+       weight_optimizer { base_epsilon: 0.01 initial_momentum: 0.9 final_momentum: 0.9 } }
+edge { source: "conv1" dest: "pool1" edge_type: MAXPOOL kernel_size: 2 stride: 2 }
+edge { source: "pool1" dest: "fc1" edge_type: FC initialization: DENSE_GAUSSIAN_SQRT_FAN_IN init_wt: 1.0
+       weight_optimizer { base_epsilon: 0.01 initial_momentum: 0.9 final_momentum: 0.9 } }
+edge { source: "fc1" dest: "output" edge_type: FC initialization: DENSE_GAUSSIAN_SQRT_FAN_IN init_wt: 1.0
+       weight_optimizer { base_epsilon: 0.01 initial_momentum: 0.9 final_momentum: 0.9 } }
+"""
+
+
+@pytest.fixture(scope="module")
+def graph():
+    return build_graph(config.parse_model(NET))
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual CPU devices"
+
+
+def test_mesh_from_graph(graph):
+    mesh = mesh_lib.mesh_for_graph(graph)
+    assert mesh is not None
+    assert mesh.shape == {"data": 4, "model": 2}
+
+
+def test_mesh_clamps_to_available(graph):
+    mesh = mesh_lib.mesh_for_graph(graph, devices=jax.devices()[:4])
+    assert mesh.shape["data"] * mesh.shape["model"] <= 4
+
+
+def test_param_sharding_rules(graph):
+    mesh = mesh_lib.mesh_for_graph(graph)
+    ps = mesh_lib.param_shardings(graph, mesh)
+    # big FC edge sharded over model axis (column-parallel)
+    assert ps["pool1:fc1"]["w"].spec == P(None, "model")
+    assert ps["pool1:fc1"]["b"].spec == P("model")
+    # small output FC + conv replicated
+    assert ps["fc1:output"]["w"].spec == P()
+    assert ps["input:conv1"]["w"].spec == P()
+
+
+def test_sharded_train_step_runs_and_matches_single_device(graph):
+    """One DP+MP step over the 8-device mesh must equal the single-device
+    step bit-for-bit up to float tolerance (same rng, same batch)."""
+    mesh = mesh_lib.mesh_for_graph(graph)
+    rng = np.random.RandomState(0)
+    x = rng.randn(16, 16, 16, 3).astype(np.float32)
+    y = rng.randint(0, 10, 16).astype(np.int32)
+
+    # single device
+    step1 = make_train_step(graph)
+    s1 = init_state(graph)
+    s1, m1 = step1(s1, {"input": jnp.asarray(x), "labels": jnp.asarray(y)})
+    s1, m1b = step1(s1, {"input": jnp.asarray(x), "labels": jnp.asarray(y)})
+
+    # sharded
+    stepN = make_train_step(graph, mesh=mesh)
+    sN = init_state(graph)
+    bs = mesh_lib.batch_sharding(mesh)
+    batch = {"input": jax.device_put(x, bs), "labels": jax.device_put(y, bs)}
+    sN, mN = stepN(sN, batch)
+    sN, mNb = stepN(sN, batch)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(mN["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(float(m1b["loss"]), float(mNb["loss"]), rtol=1e-4)
+    for e in ["input:conv1", "pool1:fc1", "fc1:output"]:
+        np.testing.assert_allclose(
+            np.asarray(s1["params"][e]["w"]),
+            np.asarray(jax.device_get(sN["params"][e]["w"])),
+            rtol=1e-4,
+            atol=1e-5,
+        )
+    # fc1 weights actually distributed: each shard holds 1/2 of the columns
+    shard_shapes = {
+        s.data.shape for s in sN["params"]["pool1:fc1"]["w"].addressable_shards
+    }
+    assert shard_shapes == {(8 * 8 * 16, 512 // 2)}
+
+
+def test_graft_entry_dryrun():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
