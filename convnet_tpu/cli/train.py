@@ -27,6 +27,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--output-dir", default=None, help="checkpoint/output directory")
     p.add_argument("--max-iter", type=int, default=None, help="override model max_iter")
     p.add_argument("--batch-size", type=int, default=None, help="override batch size")
+    p.add_argument(
+        "--profile-dir",
+        default=None,
+        help="capture a jax.profiler device trace of steps 5-15 here",
+    )
     return p
 
 
@@ -49,7 +54,7 @@ def main(argv=None) -> int:
         checkpoint_dir=args.output_dir,
     )
     try:
-        trainer.train(max_iter=args.max_iter)
+        trainer.train(max_iter=args.max_iter, profile_dir=args.profile_dir)
         if graph.checkpoint_after:
             trainer.save()
     finally:

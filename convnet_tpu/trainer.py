@@ -144,13 +144,29 @@ class Trainer:
         self.val_data = val_data
         self.checkpoint_dir = checkpoint_dir or graph.checkpoint_dir or "."
         self.mesh = mesh if mesh is not None else mesh_lib.mesh_for_graph(graph)
-        self.log = log_fn
+        self._log_fn = log_fn
+        # persistent train log in the output dir (reference: the error/
+        # stats history the trainer drops alongside checkpoints [U])
+        self._log_path = None
+        if checkpoint_dir or graph.checkpoint_dir:
+            import os
+
+            os.makedirs(self.checkpoint_dir, exist_ok=True)
+            self._log_path = os.path.join(
+                self.checkpoint_dir, f"{graph.name}_train_log.txt"
+            )
         jitter = train_data.jitter_specs()
         eval_jitter = val_data.jitter_specs() if val_data is not None else jitter
         self._train_step = make_train_step(graph, jitter, self.mesh)
         self._eval_step = make_eval_step(graph, eval_jitter, self.mesh)
         self.state = init_state(graph)
         self._resume()
+
+    def log(self, msg: str):
+        self._log_fn(msg)
+        if self._log_path:
+            with open(self._log_path, "a") as f:
+                f.write(msg + "\n")
 
     # -- checkpointing ------------------------------------------------------
 
@@ -187,14 +203,28 @@ class Trainer:
             return {k: jax.device_put(v, bs) for k, v in host_batch.items()}
         return {k: jnp.asarray(v) for k, v in host_batch.items()}
 
-    def train(self, max_iter: Optional[int] = None):
+    def train(self, max_iter: Optional[int] = None, profile_dir: Optional[str] = None):
+        """Step loop. `profile_dir`: capture a jax.profiler trace of steps
+        5..15 (post-compile) into this directory (tensorboard-readable)."""
         g = self.graph
         total = max_iter if max_iter is not None else g.max_iter
         window_metrics: List[Dict] = []
         t0 = time.time()
         next_batch = self._device_batch(self.train_data.get_batch())
         start_step = int(self.state["step"])
+        profiling = False
         for it in range(start_step, total):
+            if profile_dir is not None:
+                if it == start_step + 5 and not profiling:
+                    jax.profiler.start_trace(profile_dir)
+                    profiling = True
+                elif profiling and it == start_step + 15:
+                    jax.tree.map(
+                        lambda a: a.block_until_ready(), self.state["params"]
+                    )
+                    jax.profiler.stop_trace()
+                    profiling = False
+                    self.log(f"profile trace -> {profile_dir}")
             batch = next_batch
             self.state, metrics = self._train_step(self.state, batch)
             # overlap: stage the next batch while the step executes
@@ -225,6 +255,8 @@ class Trainer:
             if g.checkpoint_after and step_no % g.checkpoint_after == 0:
                 self.save()
                 t0 = time.time()
+        if profiling:
+            jax.profiler.stop_trace()
         return self.state
 
     def validate(self, num_batches: Optional[int] = None) -> Tuple[float, float]:
