@@ -52,6 +52,7 @@ def main(argv=None) -> int:
         train_data,
         val_data,
         checkpoint_dir=args.output_dir,
+        model_proto=model,
     )
     try:
         trainer.train(max_iter=args.max_iter, profile_dir=args.profile_dir)

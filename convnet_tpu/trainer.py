@@ -138,8 +138,13 @@ class Trainer:
         checkpoint_dir: Optional[str] = None,
         mesh=None,
         log_fn=print,
+        model_proto=None,
     ):
         self.graph = graph
+        # when given, save() mirrors the reference's ConvNet::Save [U]:
+        # the model pbtxt is rewritten into the output dir with the
+        # checkpoint timestamp recorded (Model.timestamp/_history)
+        self.model_proto = model_proto
         self.train_data = train_data
         self.val_data = val_data
         self.checkpoint_dir = checkpoint_dir or graph.checkpoint_dir or "."
@@ -186,12 +191,24 @@ class Trainer:
             self.log(f"resumed from {path} at step {step}")
 
     def save(self):
+        import os
+
         step = int(self.state["step"])
         params = jax.device_get(self.state["params"])
         moms = jax.device_get(self.state["moms"])
         path = ckpt.save(
             self.checkpoint_dir, self.graph.name, params, moms, step=step
         )
+        if self.model_proto is not None:
+            from convnet_tpu.config import model_to_text
+
+            ts = os.path.basename(path).rsplit("_", 1)[-1].removesuffix(".h5")
+            self.model_proto.timestamp = ts
+            self.model_proto.timestamp_history.append(ts)
+            with open(
+                os.path.join(self.checkpoint_dir, f"{self.graph.name}.pbtxt"), "w"
+            ) as f:
+                f.write(model_to_text(self.model_proto))
         self.log(f"checkpoint -> {path}")
         return path
 
