@@ -220,9 +220,15 @@ class DataHandler:
         self._thread.start()
 
     def get_batch(self) -> Dict[str, np.ndarray]:
-        """Next {layer_name: rows} batch (blocks on the prefetch queue)."""
+        """Next {layer_name: rows} batch (blocks on the prefetch queue).
+        Raises RuntimeError if the handler was closed mid-wait."""
         if self._queue is not None:
-            return self._queue.get()
+            while True:
+                try:
+                    return self._queue.get(timeout=0.2)
+                except queue.Empty:
+                    if self._stop.is_set():
+                        raise RuntimeError("DataHandler closed while waiting for batch")
         return self._produce()
 
     def reset(self):

@@ -156,10 +156,15 @@ void ResizeCrop(const uint8_t* src, int sw, int sh, int colors, int raw,
   }
 }
 
+// Persistent worker pool. Batch state lives in members (never in a
+// caller stack frame) and batches are generation-stamped: a worker that
+// wakes late sees count_ == 0 and goes back to sleep, so no thread can
+// ever touch a completed batch's buffers (the use-after-return a
+// queue-of-closures design invites).
 class Loader {
  public:
   Loader(std::vector<std::string> paths, int raw, int colors, int threads)
-      : paths_(std::move(paths)), raw_(raw), colors_(colors), stop_(false) {
+      : paths_(std::move(paths)), raw_(raw), colors_(colors) {
     if (threads < 1) threads = 1;
     for (int i = 0; i < threads; ++i)
       workers_.emplace_back([this] { WorkerLoop(); });
@@ -170,62 +175,72 @@ class Loader {
       std::lock_guard<std::mutex> lk(mu_);
       stop_ = true;
     }
-    cv_.notify_all();
+    cv_worker_.notify_all();
     for (auto& t : workers_) t.join();
   }
 
   int Load(const int64_t* indices, int count, uint8_t* out) {
-    std::atomic<int> next(0), errors(0);
-    std::atomic<int> done(0);
-    const size_t row = static_cast<size_t>(raw_) * raw_ * colors_;
-    auto task = [&, this] {
-      for (;;) {
-        const int k = next.fetch_add(1);
-        if (k >= count) break;
-        const int64_t idx = indices[k];
-        if (idx < 0 || idx >= static_cast<int64_t>(paths_.size())) {
-          errors.fetch_add(1);
-        } else {
-          std::vector<uint8_t> pix;
-          int w = 0, h = 0;
-          if (DecodeJpeg(paths_[idx], colors_, &pix, &w, &h)) {
-            ResizeCrop(pix.data(), w, h, colors_, raw_, out + row * k);
-          } else {
-            std::memset(out + row * k, 0, row);
-            errors.fetch_add(1);
-          }
-        }
-        done.fetch_add(1);
-      }
-    };
-    Dispatch(task, count, &done);
-    return errors.load() ? -errors.load() : 0;
+    {
+      std::lock_guard<std::mutex> lk(mu_);
+      idx_ = indices;
+      out_ = out;
+      count_ = count;
+      next_.store(0);
+      errors_.store(0);
+      ++gen_;
+    }
+    cv_worker_.notify_all();
+    Work();  // caller participates
+    std::unique_lock<std::mutex> lk(mu_);
+    cv_done_.wait(lk, [this] { return inflight_ == 0; });
+    idx_ = nullptr;
+    out_ = nullptr;
+    count_ = 0;
+    const int errs = errors_.load();
+    return errs ? -errs : 0;
   }
 
  private:
-  void Dispatch(const std::function<void()>& task, int count,
-                std::atomic<int>* done) {
-    {
-      std::lock_guard<std::mutex> lk(mu_);
-      for (size_t i = 0; i < workers_.size(); ++i) queue_.push(task);
+  void Work() {
+    const size_t row = static_cast<size_t>(raw_) * raw_ * colors_;
+    for (;;) {
+      const int k = next_.fetch_add(1);
+      if (k >= count_) break;
+      const int64_t idx = idx_[k];
+      if (idx < 0 || idx >= static_cast<int64_t>(paths_.size())) {
+        errors_.fetch_add(1);
+        std::memset(out_ + row * k, 0, row);
+        continue;
+      }
+      std::vector<uint8_t> pix;
+      int w = 0, h = 0;
+      if (DecodeJpeg(paths_[idx], colors_, &pix, &w, &h)) {
+        ResizeCrop(pix.data(), w, h, colors_, raw_, out_ + row * k);
+      } else {
+        std::memset(out_ + row * k, 0, row);
+        errors_.fetch_add(1);
+      }
     }
-    cv_.notify_all();
-    task();  // caller participates
-    // wait until every row is produced
-    while (done->load() < count) std::this_thread::yield();
   }
 
   void WorkerLoop() {
+    uint64_t seen = 0;
     for (;;) {
-      std::function<void()> task;
       {
         std::unique_lock<std::mutex> lk(mu_);
-        cv_.wait(lk, [this] { return stop_ || !queue_.empty(); });
+        cv_worker_.wait(lk, [&] {
+          return stop_ || (gen_ != seen && next_.load() < count_);
+        });
         if (stop_) return;
-        task = std::move(queue_.front());
-        queue_.pop();
+        seen = gen_;
+        ++inflight_;
       }
-      task();
+      Work();
+      {
+        std::lock_guard<std::mutex> lk(mu_);
+        --inflight_;
+      }
+      cv_done_.notify_all();
     }
   }
 
@@ -233,10 +248,16 @@ class Loader {
   const int raw_;
   const int colors_;
   std::vector<std::thread> workers_;
+
   std::mutex mu_;
-  std::condition_variable cv_;
-  std::queue<std::function<void()>> queue_;
-  bool stop_;
+  std::condition_variable cv_worker_, cv_done_;
+  bool stop_ = false;
+  uint64_t gen_ = 0;
+  int inflight_ = 0;
+  const int64_t* idx_ = nullptr;
+  uint8_t* out_ = nullptr;
+  int count_ = 0;
+  std::atomic<int> next_{0}, errors_{0};
 };
 
 }  // namespace
