@@ -40,9 +40,12 @@ def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
     model = config.read_model(args.model)
     data_cfg = config.read_dataset_config(args.data)
+    # batch size priority: CLI flag > data config's own > model default
     data = DataHandler(
         data_cfg,
-        batch_size=args.batch_size or model.batch_size,
+        batch_size=args.batch_size
+        or (data_cfg.batch_size if data_cfg.HasField("batch_size") else 0)
+        or model.batch_size,
         randomize=False,
     )
     graph = build_graph(model, data.input_image_sizes())

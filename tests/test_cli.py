@@ -75,3 +75,69 @@ def test_extract_rejects_unknown_layer(tmp_path):
     with pytest.raises(KeyError):
         extract.main([MNIST, DVAL, "--checkpoint", ckpt,
                       "--output", str(tmp_path / "x.h5"), "--layers", "nope"])
+
+
+def test_extract_over_sliding_windows(tmp_path):
+    """Dense patchwise eval: SLIDING_WINDOW stream -> extract CLI -> HDF5
+    (the reference's SlidingWindowIterator workflow [U])."""
+    from PIL import Image
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    imgs = tmp_path / "imgs"
+    imgs.mkdir()
+    paths = []
+    for i in range(2):
+        arr = rng.randint(0, 255, (40, 40, 3), dtype=np.uint8)
+        p = str(imgs / f"im{i}.jpg")
+        Image.fromarray(arr).save(p)
+        paths.append(p)
+    (imgs / "list.txt").write_text("\n".join(paths))
+
+    model = tmp_path / "m.pbtxt"
+    model.write_text(
+        """
+        name: "win"
+        checkpoint_after: 1
+        layer { name: "input" is_input: true num_channels: 3 image_size: 16 }
+        layer { name: "conv1" num_channels: 8 activation: RECTIFIED_LINEAR }
+        layer { name: "pool" num_channels: 8 }
+        layer { name: "output" is_output: true num_channels: 4 activation: SOFTMAX data_field: "labels" }
+        edge { source: "input" dest: "conv1" edge_type: CONV kernel_size: 3 stride: 1 padding: 1
+               initialization: DENSE_GAUSSIAN init_wt: 0.1 }
+        edge { source: "conv1" dest: "pool" edge_type: MAXPOOL kernel_size: 2 stride: 2 }
+        edge { source: "pool" dest: "output" edge_type: FC initialization: DENSE_GAUSSIAN_SQRT_FAN_IN init_wt: 1.0 }
+        """
+    )
+    data = tmp_path / "d.pbtxt"
+    data.write_text(
+        f"""
+        name: "wins"
+        batch_size: 8
+        pipeline_loads: false
+        data_config {{ layer_name: "input" data_type: SLIDING_WINDOW
+                      file_pattern: "{imgs / 'list.txt'}"
+                      image_size: 16 window_stride: 8 num_colors: 3 }}
+        """
+    )
+    # make a checkpoint by initializing params and saving directly
+    from convnet_tpu import checkpoint as ckpt, config, model as model_lib
+    from convnet_tpu.graph import build_graph
+    import jax
+
+    g = build_graph(config.read_model(str(model)))
+    params = jax.device_get(model_lib.init_params(g))
+    cpath = ckpt.save(str(tmp_path), "win", params, timestamp="20260101000000")
+
+    out = str(tmp_path / "winfeats.h5")
+    rc = extract.main([str(model), str(data), "--checkpoint", cpath,
+                       "--output", out, "--layers", "pool"])
+    assert rc == 0
+    import h5py
+
+    with h5py.File(out) as f:
+        n = f["pool"].shape[0]
+        assert f["pool"].shape[1] == 8 * 8 * 8
+        # 2 images, 4x4 window grid each at stride 8 on 40px -> 16 windows,
+        # floor to batch multiple
+        assert n == (2 * 16 // 8) * 8
