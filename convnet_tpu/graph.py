@@ -207,6 +207,7 @@ class Graph:
     compute_dtype: str = "float32"
     parallel_data: int = 1
     parallel_model: int = 1
+    remat: bool = False
 
     # --- lookups -----------------------------------------------------------
 
@@ -384,4 +385,5 @@ def build_graph(
         compute_dtype=model.compute_dtype,
         parallel_data=max(1, par.data),
         parallel_model=max(1, par.model),
+        remat=model.remat,
     )

@@ -188,7 +188,16 @@ def apply_fn(
             z = None
             for e in graph.incoming(name):
                 p = params.get(e.name)
-                contrib = _edge_fprop(graph, e, p, acts[e.source], cdt)
+                if graph.remat and train and e.has_weights:
+                    # rematerialize: recompute this edge's output in the
+                    # backward pass instead of storing it (Model.remat;
+                    # trades FLOPs for HBM on big models/batches)
+                    fprop = jax.checkpoint(
+                        lambda pp, xx, _e=e: _edge_fprop(graph, _e, pp, xx, cdt)
+                    )
+                    contrib = fprop(p, acts[e.source])
+                else:
+                    contrib = _edge_fprop(graph, e, p, acts[e.source], cdt)
                 z = contrib if z is None else z + contrib
             if l.is_output:
                 out[f"{name}:preact"] = z.reshape(z.shape[0], -1)

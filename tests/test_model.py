@@ -127,3 +127,64 @@ def test_bfloat16_compute_close_to_f32(tiny):
     out32 = model_lib.apply_fn(tiny, params, batch)["output"]
     out16 = model_lib.apply_fn(bf, params, batch)["output"]
     np.testing.assert_allclose(np.asarray(out32), np.asarray(out16), atol=0.05)
+
+
+def test_remat_matches_no_remat():
+    """Model.remat must not change numerics — only the backward schedule."""
+    base = config.parse_model(TINY_NET)
+    g_plain = build_graph(base)
+    base.remat = True
+    g_remat = build_graph(base)
+    params = model_lib.init_params(g_plain)
+    rng = np.random.RandomState(3)
+    batch = synth_batch(g_plain, 4, rng)
+
+    def loss(g, p):
+        return model_lib.loss_fn(g, p, batch, train=True,
+                                 dropout_rng=jax.random.PRNGKey(0))[0]
+
+    l1, grads1 = jax.value_and_grad(lambda p: loss(g_plain, p))(params)
+    l2, grads2 = jax.value_and_grad(lambda p: loss(g_remat, p))(params)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    for k in grads1:
+        np.testing.assert_allclose(
+            np.asarray(grads1[k]["w"]), np.asarray(grads2[k]["w"]), rtol=1e-5, atol=1e-6
+        )
+
+
+def test_unshared_conv_bias():
+    m = config.parse_model(
+        """
+        name: "ub"
+        layer { name: "input" is_input: true num_channels: 2 image_size: 6 }
+        layer { name: "c" num_channels: 3 activation: RECTIFIED_LINEAR }
+        layer { name: "output" is_output: true num_channels: 2 activation: SOFTMAX data_field: "labels" }
+        edge { source: "input" dest: "c" edge_type: CONV kernel_size: 3 stride: 1 padding: 1
+               shared_bias: false initialization: DENSE_GAUSSIAN init_wt: 0.2 init_bias: 0.1 }
+        edge { source: "c" dest: "output" edge_type: FC initialization: DENSE_GAUSSIAN_SQRT_FAN_IN init_wt: 1.0 }
+        """
+    )
+    g = build_graph(m)
+    params = model_lib.init_params(g)
+    assert params["input:c"]["b"].shape == (6, 6, 3)  # per-location bias
+    failures, max_rel = check_graph(g, batch_size=4, samples=6, log=lambda *_: None)
+    assert failures == 0, f"max rel err {max_rel}"
+
+
+def test_two_input_layers():
+    m = config.parse_model(
+        """
+        name: "two"
+        layer { name: "img" is_input: true num_channels: 2 image_size: 4 }
+        layer { name: "side" is_input: true num_channels: 8 }
+        layer { name: "h" num_channels: 8 activation: TANH }
+        layer { name: "output" is_output: true num_channels: 3 activation: SOFTMAX data_field: "labels" }
+        edge { source: "img" dest: "h" edge_type: FC initialization: DENSE_GAUSSIAN init_wt: 0.2 }
+        edge { source: "side" dest: "h" edge_type: FC initialization: DENSE_GAUSSIAN init_wt: 0.2 }
+        edge { source: "h" dest: "output" edge_type: FC initialization: DENSE_GAUSSIAN init_wt: 0.2 }
+        """
+    )
+    g = build_graph(m)
+    assert len(g.input_layers) == 2
+    failures, max_rel = check_graph(g, batch_size=4, samples=6, log=lambda *_: None)
+    assert failures == 0, f"max rel err {max_rel}"
