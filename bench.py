@@ -38,6 +38,9 @@ def main():
     import jax
 
     from convnet_tpu import config, model as model_lib
+    from convnet_tpu.trainer import enable_compilation_cache
+
+    enable_compilation_cache()
     from convnet_tpu.data.jitter import JitterSpec
     from convnet_tpu.graph import build_graph
     from convnet_tpu.trainer import init_state, make_train_step

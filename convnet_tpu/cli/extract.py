@@ -38,6 +38,9 @@ def build_argparser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
+    from convnet_tpu.trainer import enable_compilation_cache
+
+    enable_compilation_cache()
     model = config.read_model(args.model)
     data_cfg = config.read_dataset_config(args.data)
     # batch size priority: CLI flag > data config's own > model default

@@ -37,6 +37,9 @@ def build_argparser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
+    from convnet_tpu.trainer import enable_compilation_cache
+
+    enable_compilation_cache()
     model = config.read_model(args.model)
     if args.batch_size:
         model.batch_size = args.batch_size

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import functools
 import time
+import zlib
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax
@@ -31,6 +32,17 @@ from convnet_tpu.graph import Graph
 from convnet_tpu.parallel import mesh as mesh_lib
 
 TrainState = Dict[str, Any]  # {"params", "moms", "step", "rng"}
+
+
+def enable_compilation_cache(path: str = "/tmp/convnet_tpu_xla_cache"):
+    """Persistent XLA compilation cache: first TPU compile of a given
+    program costs 20-40s; later processes hit the disk cache. Called by
+    the CLIs and bench; safe to call repeatedly."""
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # older jax without the knobs
 
 JitterMap = Dict[str, Tuple[JitterSpec, Optional[np.ndarray], Optional[np.ndarray]]]
 
@@ -53,7 +65,9 @@ def _preprocess(graph: Graph, jitter: Optional[JitterMap], batch, rng, train: bo
     for field, (spec, mean, std) in jitter.items():
         jrng = None
         if rng is not None:
-            jrng = jax.random.fold_in(rng, hash(field) % (2**31))
+            # crc32, not hash(): stable across processes so a resumed run
+            # replays the same augmentation stream
+            jrng = jax.random.fold_in(rng, zlib.crc32(field.encode()) & 0x7FFFFFFF)
         out[field] = jitter_batch(out[field], spec, jrng, train, mean, std)
     return out
 
