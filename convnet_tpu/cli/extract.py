@@ -62,14 +62,17 @@ def main(argv=None) -> int:
     dims = {
         name: int(np.prod(graph.shapes[name])) for name in args.layers
     }
-    n_batches = data.num_batches
+    total = data.num_rows
+    done = 0
     with DataWriter(args.output, dims) as writer:
-        for i in range(n_batches):
-            batch = {k: np.asarray(v) for k, v in data.get_batch().items()}
+        # deterministic epoch incl. the final partial batch (padded rows
+        # are trimmed before writing) — every input row gets features
+        for batch, valid in data.iter_epoch():
             acts = jax.device_get(fwd(params, batch))
-            writer.append({name: acts[name] for name in args.layers})
-            if (i + 1) % 50 == 0:
-                print(f"extracted {i + 1}/{n_batches} batches")
+            writer.append({name: acts[name][:valid] for name in args.layers})
+            done += valid
+            if done % (50 * data.batch_size) < data.batch_size:
+                print(f"extracted {done}/{total} rows")
     data.close()
     print(f"wrote {args.output}")
     return 0

@@ -231,6 +231,21 @@ class DataHandler:
                         raise RuntimeError("DataHandler closed while waiting for batch")
         return self._produce()
 
+    def iter_epoch(self, include_partial: bool = True):
+        """One deterministic sequential pass (feature extraction / eval):
+        yields (batch_dict, valid_rows). The final partial batch is padded
+        by repeating its last row; `valid_rows` tells the caller how many
+        rows are real. Bypasses the shuffle order and prefetch queue."""
+        bs = self.batch_size
+        for start in range(0, self.num_rows, bs):
+            idx = np.arange(start, min(start + bs, self.num_rows))
+            valid = len(idx)
+            if valid < bs:
+                if not include_partial:
+                    return
+                idx = np.concatenate([idx, np.full(bs - valid, idx[-1])])
+            yield {name: s.read_rows(idx) for name, s in self.streams.items()}, valid
+
     def reset(self):
         """Restart from the beginning (eval epochs)."""
         self.close()

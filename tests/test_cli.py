@@ -138,6 +138,6 @@ def test_extract_over_sliding_windows(tmp_path):
     with h5py.File(out) as f:
         n = f["pool"].shape[0]
         assert f["pool"].shape[1] == 8 * 8 * 8
-        # 2 images, 4x4 window grid each at stride 8 on 40px -> 16 windows,
-        # floor to batch multiple
-        assert n == (2 * 16 // 8) * 8
+        # 2 images, 4x4 window grid each at stride 8 on 40px -> 32 windows,
+        # ALL extracted (final partial batch padded then trimmed)
+        assert n == 2 * 16
