@@ -111,9 +111,33 @@ class DummyStream(Stream):
         return self._data[indices]
 
 
+class RawCacheStream(Stream):
+    """Memory-mapped fixed-stride rows gathered by the native C++ core
+    (rebuild's high-throughput path; tools/make_raw_cache.py converts
+    HDF5 shards). Reference counterpart: the native chunked-read path in
+    DataHandler [U]."""
+
+    def __init__(self, cfg: pb.DataStreamConfig):
+        super().__init__(cfg)
+        from convnet_tpu.data.native import RawCacheReader
+
+        if not cfg.file_pattern:
+            raise ValueError(f"stream {cfg.layer_name}: RAW_CACHE needs file_pattern")
+        self._reader = RawCacheReader(cfg.file_pattern)
+
+    @property
+    def num_rows(self) -> int:
+        return self._reader.num_rows
+
+    def read_rows(self, indices: np.ndarray) -> np.ndarray:
+        return self._maybe_reshape_images(self._reader.gather(indices))
+
+
 def make_stream(cfg: pb.DataStreamConfig) -> Stream:
     if cfg.data_type == DT.HDF5:
         return HDF5Stream(cfg)
+    if cfg.data_type == DT.RAW_CACHE:
+        return RawCacheStream(cfg)
     if cfg.data_type == DT.DUMMY:
         return DummyStream(cfg)
     if cfg.data_type == DT.IMAGE_RAW:

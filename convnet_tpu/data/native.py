@@ -94,3 +94,101 @@ class NativeImageLoader:
                 self._lib.loader_destroy(self._handle)
         except Exception:
             pass
+
+
+class RawCacheReader:
+    """Gather rows from a memory-mapped raw cache via the C++ core
+    (cache_open/cache_gather). Falls back to numpy memmap when the
+    native library isn't built — same format either way."""
+
+    HEADER = 16
+
+    def __init__(self, path: str, threads: int = 4):
+        import json
+
+        with open(path + ".json") as f:
+            meta = json.load(f)
+        self.dtype = np.dtype(meta["dtype"])
+        self.row_shape = tuple(meta["shape"])
+        self.row_bytes = int(self.dtype.itemsize * np.prod(self.row_shape))
+        self._handle = None
+        self._lib = _load()
+        if self._lib is not None and not hasattr(self._lib, "cache_open"):
+            # older build of the library without the cache API
+            self._lib = None
+        if self._lib is not None:
+            self._lib.cache_open.restype = ctypes.c_void_p
+            self._lib.cache_open.argtypes = [ctypes.c_char_p, ctypes.c_int]
+            self._lib.cache_num_rows.restype = ctypes.c_int64
+            self._lib.cache_num_rows.argtypes = [ctypes.c_void_p]
+            self._lib.cache_row_bytes.restype = ctypes.c_int64
+            self._lib.cache_row_bytes.argtypes = [ctypes.c_void_p]
+            self._lib.cache_gather.restype = ctypes.c_int
+            self._lib.cache_gather.argtypes = [
+                ctypes.c_void_p,
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int,
+                ctypes.c_void_p,
+            ]
+            self._lib.cache_close.argtypes = [ctypes.c_void_p]
+            self._handle = self._lib.cache_open(path.encode(), threads)
+            if not self._handle:
+                raise ValueError(f"bad raw cache file: {path}")
+            if self._lib.cache_row_bytes(self._handle) != self.row_bytes:
+                raise ValueError(
+                    f"{path}: sidecar row size mismatch "
+                    f"({self._lib.cache_row_bytes(self._handle)} vs {self.row_bytes})"
+                )
+            self.num_rows = int(self._lib.cache_num_rows(self._handle))
+        else:
+            raw = np.memmap(path, dtype=np.uint8, mode="r")
+            if bytes(raw[:4]) != b"CNTC":
+                raise ValueError(f"bad raw cache magic in {path}")
+            payload = raw[self.HEADER :]
+            self.num_rows = payload.size // self.row_bytes
+            self._mm = payload[: self.num_rows * self.row_bytes].reshape(
+                self.num_rows, self.row_bytes
+            )
+
+    def gather(self, indices: np.ndarray) -> np.ndarray:
+        idx = np.ascontiguousarray(indices, dtype=np.int64)
+        if self._handle is not None:
+            out = np.empty((len(idx), self.row_bytes), np.uint8)
+            rc = self._lib.cache_gather(
+                self._handle,
+                idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                len(idx),
+                out.ctypes.data_as(ctypes.c_void_p),
+            )
+            if rc != 0:
+                raise IndexError("cache_gather failed (index out of range?)")
+        else:
+            out = np.ascontiguousarray(self._mm[idx])
+        return out.view(self.dtype).reshape((len(idx),) + self.row_shape)
+
+    def close(self):
+        if self._handle is not None:
+            self._lib.cache_close(self._handle)
+            self._handle = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+def write_raw_cache(path: str, array: np.ndarray):
+    """Write an (N, ...) array as a raw cache + JSON sidecar."""
+    import json
+    import struct
+
+    array = np.ascontiguousarray(array)
+    row_bytes = array.dtype.itemsize * int(np.prod(array.shape[1:]))
+    with open(path, "wb") as f:
+        f.write(b"CNTC")
+        f.write(struct.pack("<I", 1))
+        f.write(struct.pack("<Q", row_bytes))
+        array.tofile(f)
+    with open(path + ".json", "w") as f:
+        json.dump({"dtype": array.dtype.name, "shape": list(array.shape[1:])}, f)

@@ -224,3 +224,84 @@ def test_datawriter_appends(tmp_path):
         assert f["fc7"].shape == (7, 8)
         np.testing.assert_array_equal(f["fc7"][:4], 1.0)
         np.testing.assert_array_equal(f["fc7"][4:], 0.0)
+
+
+# ---------------------------------------------------------------------------
+# raw cache (native gather core)
+# ---------------------------------------------------------------------------
+
+
+def test_raw_cache_roundtrip_and_gather(tmp_path):
+    from convnet_tpu.data.native import RawCacheReader, write_raw_cache
+
+    rng = np.random.RandomState(0)
+    arr = rng.randint(0, 255, (64, 6, 6, 3), dtype=np.uint8)
+    path = str(tmp_path / "d.cache")
+    write_raw_cache(path, arr)
+
+    r = RawCacheReader(path)
+    assert r.num_rows == 64
+    idx = np.array([5, 0, 63, 5, 17])
+    got = r.gather(idx)
+    np.testing.assert_array_equal(got, arr[idx])
+    with pytest.raises(IndexError):
+        r.gather(np.array([64]))
+    r.close()
+
+
+def test_raw_cache_float_rows(tmp_path):
+    from convnet_tpu.data.native import RawCacheReader, write_raw_cache
+
+    arr = np.random.RandomState(1).randn(10, 7).astype(np.float32)
+    path = str(tmp_path / "f.cache")
+    write_raw_cache(path, arr)
+    r = RawCacheReader(path)
+    np.testing.assert_array_equal(r.gather(np.array([3, 9])), arr[[3, 9]])
+    r.close()
+
+
+def test_raw_cache_stream_in_datahandler(tmp_path):
+    from convnet_tpu.data.native import write_raw_cache
+
+    rng = np.random.RandomState(2)
+    imgs = rng.randint(0, 255, (48, 8, 8, 3), dtype=np.uint8)
+    labels = (np.arange(48) % 10).astype(np.int32)
+    write_raw_cache(str(tmp_path / "x.cache"), imgs)
+    write_raw_cache(str(tmp_path / "y.cache"), labels)
+    cfg = config.parse_dataset_config(
+        f"""
+        name: "rc"
+        batch_size: 16
+        randomize_cpu: true
+        pipeline_loads: false
+        data_config {{ layer_name: "input" data_type: RAW_CACHE
+                      file_pattern: "{tmp_path / 'x.cache'}" image_size: 8 num_colors: 3 }}
+        data_config {{ layer_name: "labels" data_type: RAW_CACHE
+                      file_pattern: "{tmp_path / 'y.cache'}" }}
+        """
+    )
+    dh = DataHandler(cfg, seed=0)
+    b = dh.get_batch()
+    assert b["input"].shape == (16, 8, 8, 3)
+    # alignment preserved through shuffle
+    for k in range(16):
+        row = np.where((imgs == b["input"][k]).all(axis=(1, 2, 3)))[0][0]
+        assert labels[row] == b["labels"][k]
+
+
+def test_make_raw_cache_tool(tmp_path):
+    import sys
+
+    sys.path.insert(0, REPO)
+    from tools.make_raw_cache import main as cache_main
+    from convnet_tpu.data.native import RawCacheReader
+
+    arr = np.random.RandomState(3).randint(0, 255, (20, 4, 4, 1), dtype=np.uint8)
+    h5 = str(tmp_path / "in.h5")
+    with h5py.File(h5, "w") as f:
+        f.create_dataset("data", data=arr)
+    out = str(tmp_path / "out.cache")
+    assert cache_main([h5, "data", out]) == 0
+    r = RawCacheReader(out)
+    np.testing.assert_array_equal(r.gather(np.arange(20)), arr)
+    r.close()
