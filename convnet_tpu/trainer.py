@@ -174,6 +174,13 @@ class Trainer:
             self._log_path = os.path.join(
                 self.checkpoint_dir, f"{graph.name}_train_log.txt"
             )
+        if self.mesh is not None:
+            dp = self.mesh.shape.get("data", 1)
+            if train_data.batch_size % dp:
+                raise ValueError(
+                    f"batch_size {train_data.batch_size} not divisible by the "
+                    f"mesh's data axis ({dp} ways)"
+                )
         jitter = train_data.jitter_specs()
         eval_jitter = val_data.jitter_specs() if val_data is not None else jitter
         self._train_step = make_train_step(graph, jitter, self.mesh)

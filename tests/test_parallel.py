@@ -106,3 +106,23 @@ def test_graft_entry_dryrun():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_trainer_rejects_indivisible_batch(graph, tmp_path):
+    from convnet_tpu import config as cfg_mod
+    from convnet_tpu.data.datahandler import DataHandler
+    from convnet_tpu.trainer import Trainer
+
+    cfg = cfg_mod.parse_dataset_config(
+        """
+        name: "d"
+        batch_size: 10
+        pipeline_loads: false
+        data_config { layer_name: "input" data_type: DUMMY image_size: 16 num_colors: 3 dummy_size: 40 }
+        data_config { layer_name: "labels" data_type: DUMMY dummy_size: 40 dummy_num_classes: 10 }
+        """
+    )
+    dh = DataHandler(cfg)
+    with pytest.raises(ValueError, match="not divisible"):
+        Trainer(graph, dh, checkpoint_dir=str(tmp_path), log_fn=lambda *_: None)
+    dh.close()
