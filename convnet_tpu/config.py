@@ -15,12 +15,33 @@ from google.protobuf import text_format
 from convnet_tpu.proto import convnet_config_pb2 as pb
 
 
-def _read_pbtxt(path: str, message):
+def _parse(text: str, message, lenient: bool):
+    """Parse pbtxt. Strict first; when `lenient`, retry accepting unknown
+    fields (schema recovered without the reference mount — SURVEY.md
+    provenance note — so real upstream configs may carry fields this
+    schema doesn't model yet; warn, don't fail)."""
+    try:
+        return text_format.Parse(text, message)
+    except text_format.ParseError as e:
+        if not lenient:
+            raise
+        import sys
+
+        message.Clear()
+        out = text_format.Parse(text, message, allow_unknown_field=True)
+        print(
+            f"warning: pbtxt has fields unknown to this schema ({e}); "
+            "parsed leniently — check convnet_tpu/proto/convnet_config.proto",
+            file=sys.stderr,
+        )
+        return out
+
+
+def _read_pbtxt(path: str, message, lenient: bool = True):
     if not os.path.exists(path):
         raise FileNotFoundError(f"pbtxt not found: {path}")
     with open(path, "r") as f:
-        text_format.Parse(f.read(), message)
-    return message
+        return _parse(f.read(), message, lenient)
 
 
 def parse_model(text: str) -> pb.Model:
