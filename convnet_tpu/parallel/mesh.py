@@ -67,11 +67,17 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 def _edge_pspec(graph: Graph, edge_name: str, leaf: str) -> P:
     e = graph.edge(edge_name)
-    if e.edge_type == ET.FC:
-        dst_c = graph.shapes[e.dest][2]
-        if dst_c >= MIN_MODEL_SHARD_UNITS:
-            # column-parallel: shard output units
-            return P(None, "model") if leaf == "w" else P("model")
+    dst_c = graph.shapes[e.dest][2]
+    if e.edge_type == ET.FC and dst_c >= MIN_MODEL_SHARD_UNITS:
+        # column-parallel: shard output units
+        return P(None, "model") if leaf == "w" else P("model")
+    if e.edge_type == ET.LOCAL and dst_c >= 64:
+        # untied weights are the big tensors (one filter per site:
+        # oh*ow*k^2*Cin*Cout) — shard the output-channel axis; the
+        # per-site bias (oh, ow, Cout) shards on its last axis too
+        if leaf == "w":
+            return P(None, None, None, "model")
+        return P(None, None, "model") if not e.shared_bias else P("model")
     return P()  # replicated
 
 

@@ -126,3 +126,14 @@ def test_trainer_rejects_indivisible_batch(graph, tmp_path):
     with pytest.raises(ValueError, match="not divisible"):
         Trainer(graph, dh, checkpoint_dir=str(tmp_path), log_fn=lambda *_: None)
     dh.close()
+
+
+def test_local_edge_weights_sharded_over_model_axis():
+    from convnet_tpu import models
+
+    g = models.alexnet_local(image_size=67)
+    mesh = mesh_lib.make_mesh(4, 2)
+    ps = mesh_lib.param_shardings(g, mesh)
+    assert ps["conv3:conv4"]["w"].spec == P(None, None, None, "model")
+    # fc6/fc7 column-parallel as before
+    assert ps["pool5:fc6"]["w"].spec == P(None, "model")
