@@ -182,7 +182,11 @@ def conv_out_size(in_size: int, kernel: int, stride: int, padding: int) -> int:
         raise ValueError(
             f"kernel {kernel} larger than padded input {in_size + 2 * padding}"
         )
-    return 1 + math.ceil(span / stride)
+    out = 1 + math.ceil(span / stride)
+    # cap: the last (possibly partial) window must still overlap the
+    # symmetric-padded input — without this, stride > span configs
+    # produce a window made entirely of implicit padding
+    return min(out, 1 + (in_size + 2 * padding - 1) // stride)
 
 
 @dataclass(frozen=True)
