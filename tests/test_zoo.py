@@ -24,3 +24,39 @@ def test_cifar_local_geometry():
 def test_alexnet_resizable():
     g = models.alexnet(image_size=67)
     assert g.shapes["pool5"] == (1, 1, 256)
+
+
+def test_predictor_aot_and_partial_batch(tmp_path):
+    import numpy as np
+
+    from convnet_tpu import config, model as model_lib
+    from convnet_tpu.graph import build_graph
+    from convnet_tpu.predictor import Predictor
+
+    g = build_graph(config.parse_model(
+        """
+        name: "p"
+        layer { name: "input" is_input: true num_channels: 2 image_size: 6 }
+        layer { name: "h" num_channels: 8 activation: RECTIFIED_LINEAR }
+        layer { name: "output" is_output: true num_channels: 4 activation: SOFTMAX data_field: "labels" }
+        edge { source: "input" dest: "h" edge_type: CONV kernel_size: 3 stride: 1 padding: 1
+               initialization: DENSE_GAUSSIAN init_wt: 0.2 }
+        edge { source: "h" dest: "output" edge_type: FC initialization: DENSE_GAUSSIAN_SQRT_FAN_IN init_wt: 1.0 }
+        """
+    ))
+    params = model_lib.init_params(g)
+    p = Predictor(g, params, batch_size=8)
+    rng = np.random.RandomState(0)
+    x5 = rng.randn(5, 6, 6, 2).astype(np.float32)
+    out = p({"input": x5})
+    assert out["output"].shape == (5, 1, 1, 4)
+    labels = p.predict_labels({"input": x5})
+    assert labels.shape == (5,)
+    # padded rows must not affect real rows: full batch agrees
+    x8 = np.concatenate([x5, rng.randn(3, 6, 6, 2).astype(np.float32)])
+    out8 = p({"input": x8})
+    np.testing.assert_allclose(out8["output"][:5], out["output"], rtol=1e-5)
+    import pytest
+
+    with pytest.raises(ValueError, match="exceeds compiled"):
+        p({"input": rng.randn(9, 6, 6, 2).astype(np.float32)})
