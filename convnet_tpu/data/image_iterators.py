@@ -34,11 +34,18 @@ def _read_file_list(path: str) -> List[str]:
 
 def decode_and_resize(path: str, raw_size: int, num_colors: int) -> np.ndarray:
     """Decode one image, scale shorter side to raw_size, center-crop the
-    longer side to raw_size -> (raw_size, raw_size, num_colors) uint8."""
+    longer side to raw_size -> (raw_size, raw_size, num_colors) uint8.
+
+    Uses JPEG DCT-scaled decode (PIL draft; power-of-2) when shrinking —
+    the native C++ loader applies the identical scaling so both paths
+    stay numerically close."""
     from PIL import Image
 
+    mode = "RGB" if num_colors == 3 else "L"
     img = Image.open(path)
-    img = img.convert("RGB" if num_colors == 3 else "L")
+    if img.format == "JPEG":
+        img.draft(mode, (raw_size, raw_size))
+    img = img.convert(mode)
     w, h = img.size
     scale = raw_size / min(w, h)
     nw, nh = max(raw_size, int(round(w * scale))), max(raw_size, int(round(h * scale)))

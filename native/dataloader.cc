@@ -45,9 +45,13 @@ void jpeg_error_exit(j_common_ptr cinfo) {
   longjmp(err->setjmp_buffer, 1);
 }
 
-// Decode a JPEG file to packed RGB (or grayscale). Returns false on error.
+// Decode a JPEG file to packed RGB (or grayscale). When min_side > 0,
+// uses libjpeg's fractional DCT scaling to decode directly at the
+// smallest scale whose shorter side still covers min_side — the big
+// cost saver when shrinking large photos to training resolution.
 bool DecodeJpeg(const std::string& path, int want_colors,
-                std::vector<uint8_t>* pixels, int* width, int* height) {
+                std::vector<uint8_t>* pixels, int* width, int* height,
+                int min_side = 0) {
   FILE* f = fopen(path.c_str(), "rb");
   if (!f) return false;
   jpeg_decompress_struct cinfo;
@@ -63,6 +67,17 @@ bool DecodeJpeg(const std::string& path, int want_colors,
   jpeg_stdio_src(&cinfo, f);
   jpeg_read_header(&cinfo, TRUE);
   cinfo.out_color_space = want_colors == 1 ? JCS_GRAYSCALE : JCS_RGB;
+  if (min_side > 0) {
+    // power-of-2 DCT scaling only (1/1, 1/2, 1/4, 1/8) — exactly what
+    // PIL's Image.draft does, keeping the two decode paths in parity
+    const int shorter = cinfo.image_width < cinfo.image_height
+                            ? cinfo.image_width
+                            : cinfo.image_height;
+    int denom = 1;
+    while (denom < 8 && shorter / (denom * 2) >= min_side) denom *= 2;
+    cinfo.scale_num = 1;
+    cinfo.scale_denom = denom;
+  }
   jpeg_start_decompress(&cinfo);
   *width = cinfo.output_width;
   *height = cinfo.output_height;
@@ -81,38 +96,64 @@ bool DecodeJpeg(const std::string& path, int want_colors,
   return true;
 }
 
-// One separable pass of PIL-style antialiased triangle (BILINEAR)
-// resampling along the leading dimension: in (n_in, stride) -> out
-// (n_out, stride) float rows. support scales with the reduction factor,
-// matching Pillow's resize() so the native path is numerically close to
-// the PIL fallback.
-void ResamplePass(const float* src, int n_in, int n_out, size_t stride,
-                  float* dst) {
+// Precomputed normalized triangle-filter taps for one resample axis
+// (PIL BILINEAR semantics: support scales with the reduction factor, so
+// the native path stays numerically close to the PIL fallback).
+struct ResampleTaps {
+  std::vector<int> lo;           // first source index per output index
+  std::vector<int> len;          // tap count per output index
+  std::vector<float> w;          // taps, packed [out][tap]
+  std::vector<int> off;          // start into w per output index
+};
+
+ResampleTaps BuildTaps(int n_in, int n_out) {
+  ResampleTaps t;
+  t.lo.resize(n_out);
+  t.len.resize(n_out);
+  t.off.resize(n_out);
   const double scale = static_cast<double>(n_in) / n_out;
   const double filterscale = scale > 1.0 ? scale : 1.0;
-  const double support = 1.0 * filterscale;  // triangle filter radius
-  std::vector<double> weights;
+  const double support = filterscale;  // triangle radius
   for (int i = 0; i < n_out; ++i) {
     const double center = (i + 0.5) * scale;
     int lo = static_cast<int>(center - support + 0.5);
     int hi = static_cast<int>(center + support + 0.5);
     if (lo < 0) lo = 0;
     if (hi > n_in) hi = n_in;
-    weights.assign(hi - lo, 0.0);
+    t.lo[i] = lo;
+    t.len[i] = hi - lo;
+    t.off[i] = static_cast<int>(t.w.size());
     double wsum = 0.0;
     for (int j = lo; j < hi; ++j) {
       const double d = (j - center + 0.5) / filterscale;
-      const double w = d > -1.0 && d < 1.0 ? 1.0 - (d < 0 ? -d : d) : 0.0;
-      weights[j - lo] = w;
-      wsum += w;
+      const double wj = d > -1.0 && d < 1.0 ? 1.0 - (d < 0 ? -d : d) : 0.0;
+      t.w.push_back(static_cast<float>(wj));
+      wsum += wj;
     }
-    if (wsum <= 0.0) wsum = 1.0;
-    for (size_t k = 0; k < stride; ++k) {
-      double acc = 0.0;
-      for (int j = lo; j < hi; ++j)
-        acc += weights[j - lo] * src[static_cast<size_t>(j) * stride + k];
-      dst[static_cast<size_t>(i) * stride + k] =
-          static_cast<float>(acc / wsum);
+    if (wsum > 0.0) {
+      const float inv = static_cast<float>(1.0 / wsum);
+      for (int k = t.off[i]; k < static_cast<int>(t.w.size()); ++k) t.w[k] *= inv;
+    }
+  }
+  return t;
+}
+
+// One separable pass along the leading dimension: (n_in, stride) ->
+// (n_out, stride) float rows, weights precomputed; inner loops are
+// flat float MACs the compiler vectorizes. Src may be uint8 (first
+// pass: folds the int->float conversion in) or float.
+template <typename SrcT>
+void ResamplePass(const SrcT* src, const ResampleTaps& t, int n_out,
+                  size_t stride, float* dst) {
+  for (int i = 0; i < n_out; ++i) {
+    float* drow = dst + static_cast<size_t>(i) * stride;
+    std::memset(drow, 0, stride * sizeof(float));
+    const float* wp = t.w.data() + t.off[i];
+    for (int k = 0; k < t.len[i]; ++k) {
+      const float wk = wp[k];
+      const SrcT* srow = src + static_cast<size_t>(t.lo[i] + k) * stride;
+      for (size_t x = 0; x < stride; ++x)
+        drow[x] += wk * static_cast<float>(srow[x]);
     }
   }
 }
@@ -127,16 +168,15 @@ void ResizeCrop(const uint8_t* src, int sw, int sh, int colors, int raw,
   if (nw < raw) nw = raw;
   if (nh < raw) nh = raw;
 
-  // vertical pass: (sh, sw*colors) -> (nh, sw*colors)
-  std::vector<float> fsrc(static_cast<size_t>(sh) * sw * colors);
-  for (size_t i = 0; i < fsrc.size(); ++i) fsrc[i] = src[i];
+  // vertical pass: (sh, sw*colors) -> (nh, sw*colors), uint8 in
   std::vector<float> tmp(static_cast<size_t>(nh) * sw * colors);
-  ResamplePass(fsrc.data(), sh, nh, static_cast<size_t>(sw) * colors,
-               tmp.data());
+  const ResampleTaps vtaps = BuildTaps(sh, nh);
+  ResamplePass(src, vtaps, nh, static_cast<size_t>(sw) * colors, tmp.data());
   // horizontal pass per row: treat each row as (sw, colors) -> (nw, colors)
   std::vector<float> resized(static_cast<size_t>(nh) * nw * colors);
+  const ResampleTaps htaps = BuildTaps(sw, nw);
   for (int y = 0; y < nh; ++y) {
-    ResamplePass(tmp.data() + static_cast<size_t>(y) * sw * colors, sw, nw,
+    ResamplePass(tmp.data() + static_cast<size_t>(y) * sw * colors, htaps, nw,
                  colors, resized.data() + static_cast<size_t>(y) * nw * colors);
   }
   const int left = (nw - raw) / 2;
@@ -214,7 +254,7 @@ class Loader {
       }
       std::vector<uint8_t> pix;
       int w = 0, h = 0;
-      if (DecodeJpeg(paths_[idx], colors_, &pix, &w, &h)) {
+      if (DecodeJpeg(paths_[idx], colors_, &pix, &w, &h, raw_)) {
         ResizeCrop(pix.data(), w, h, colors_, raw_, out_ + row * k);
       } else {
         std::memset(out_ + row * k, 0, row);
