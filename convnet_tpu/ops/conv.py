@@ -21,7 +21,7 @@ from jax import lax
 from convnet_tpu.graph import conv_out_size
 
 
-def _precision(compute_dtype):
+def matmul_precision(compute_dtype):
     """float32 mode is the numerics-parity path (<=1e-4 vs reference, BASELINE
     north_star) and must not silently drop to bf16 passes; explicit bfloat16
     mode takes the fast MXU default."""
@@ -69,7 +69,7 @@ def conv2d(
         padding=(pad_h, pad_w),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=None if compute_dtype is not None else jnp.float32,
-        precision=_precision(compute_dtype),
+        precision=matmul_precision(compute_dtype),
     )
     return out.astype(jnp.float32)
 
@@ -85,7 +85,7 @@ def conv_onetoone(x: jax.Array, w: jax.Array, compute_dtype=None) -> jax.Array:
         x,
         w,
         preferred_element_type=jnp.float32,
-        precision=_precision(compute_dtype),
+        precision=matmul_precision(compute_dtype),
     )
 
 
@@ -99,5 +99,5 @@ def fc(x: jax.Array, w: jax.Array, compute_dtype=None) -> jax.Array:
         xf = xf.astype(compute_dtype)
         w = w.astype(compute_dtype)
     return jnp.dot(
-        xf, w, preferred_element_type=jnp.float32, precision=_precision(compute_dtype)
+        xf, w, preferred_element_type=jnp.float32, precision=matmul_precision(compute_dtype)
     )

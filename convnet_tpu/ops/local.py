@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from convnet_tpu.ops.conv import _precision, ceil_mode_padding
+from convnet_tpu.ops.conv import ceil_mode_padding, matmul_precision
 
 
 def local_conv2d(
@@ -40,7 +40,7 @@ def local_conv2d(
         padding=(pad_h, pad_w),
         filter_shape=(kernel, kernel),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        precision=_precision(compute_dtype),
+        precision=matmul_precision(compute_dtype),
     ).astype(jnp.float32)
 
 
