@@ -24,4 +24,26 @@ was empty at build time (see SURVEY.md provenance note).
 __version__ = "0.1.0"
 
 from convnet_tpu.config import read_model, read_dataset_config, parse_model  # noqa: F401
-from convnet_tpu.graph import Graph, LayerSpec, EdgeSpec  # noqa: F401
+from convnet_tpu.graph import Graph, LayerSpec, EdgeSpec, build_graph  # noqa: F401
+
+
+def __getattr__(name):
+    # Lazy exports that pull in jax (keep bare `import convnet_tpu` light
+    # for config-only consumers like the dataset tools).
+    if name == "Trainer":
+        from convnet_tpu.trainer import Trainer
+
+        return Trainer
+    if name == "Predictor":
+        from convnet_tpu.predictor import Predictor
+
+        return Predictor
+    if name == "DataHandler":
+        from convnet_tpu.data.datahandler import DataHandler
+
+        return DataHandler
+    if name == "models":
+        import convnet_tpu.models as models
+
+        return models
+    raise AttributeError(f"module 'convnet_tpu' has no attribute {name!r}")

@@ -32,6 +32,18 @@ def build_argparser() -> argparse.ArgumentParser:
         default=None,
         help="capture a jax.profiler device trace of steps 5-15 here",
     )
+    p.add_argument(
+        "--data-parallel",
+        type=int,
+        default=None,
+        help="override Model.parallel.data (batch-sharding ways)",
+    )
+    p.add_argument(
+        "--model-parallel",
+        type=int,
+        default=None,
+        help="override Model.parallel.model (unit-sharding ways)",
+    )
     return p
 
 
@@ -43,6 +55,10 @@ def main(argv=None) -> int:
     model = config.read_model(args.model)
     if args.batch_size:
         model.batch_size = args.batch_size
+    if args.data_parallel is not None:
+        model.parallel.data = args.data_parallel
+    if args.model_parallel is not None:
+        model.parallel.model = args.model_parallel
     train_cfg = config.read_dataset_config(args.train_data)
     train_data = DataHandler(train_cfg, batch_size=model.batch_size, seed=model.seed)
     val_data = None

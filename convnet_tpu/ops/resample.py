@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from convnet_tpu.ops.pool import avgpool2d
 
@@ -26,17 +27,20 @@ def downsample(x: jax.Array, factor: int) -> jax.Array:
 
 
 # ITU-R BT.601 full-range RGB -> YUV (the CImg convention the reference's
-# image path uses [U]).
-_RGB2YUV = jnp.array(
+# image path uses [U]). numpy (not jnp): a module-level device array would
+# initialize the backend at import time.
+_RGB2YUV = np.array(
     [
         [0.299, -0.14713, 0.615],
         [0.587, -0.28886, -0.51499],
         [0.114, 0.436, -0.10001],
     ],
-    dtype=jnp.float32,
+    dtype=np.float32,
 )
 
 
 def rgb_to_yuv(x: jax.Array) -> jax.Array:
     """x: (B, H, W, 3) RGB -> YUV."""
-    return jnp.einsum("bhwc,cd->bhwd", x.astype(jnp.float32), _RGB2YUV).astype(x.dtype)
+    return jnp.einsum(
+        "bhwc,cd->bhwd", x.astype(jnp.float32), jnp.asarray(_RGB2YUV)
+    ).astype(x.dtype)

@@ -218,3 +218,16 @@ def test_rgb_to_yuv_known_values():
     yuv_r = np.asarray(resample.rgb_to_yuv(red)).squeeze()
     np.testing.assert_allclose(yuv_w, [1.0, 0.0, 0.0], atol=1e-4)
     np.testing.assert_allclose(yuv_r[0], 0.299, atol=1e-4)
+
+
+def test_lrn_bf16_input():
+    """LRN promotes to f32 internally and returns the input dtype."""
+    rng = np.random.RandomState(9)
+    x32 = rng.randn(2, 3, 3, 16).astype(np.float32)
+    x16 = jnp.asarray(x32, jnp.bfloat16)
+    y16 = lrn_ops.response_norm_cross_map(x16, 0.001, 0.75, 0.25, False, "xla")
+    assert y16.dtype == jnp.bfloat16
+    y32 = lrn_ops.response_norm_cross_map(jnp.asarray(x32), 0.001, 0.75, 0.25, False, "xla")
+    np.testing.assert_allclose(
+        np.asarray(y16, np.float32), np.asarray(y32), atol=0.02
+    )
