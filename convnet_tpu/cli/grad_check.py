@@ -33,6 +33,8 @@ def synth_batch(graph, batch_size, rng):
             rng.randn(batch_size, h, w, c).astype(np.float32)
         )
     for l in graph.output_layers:
+        if l.data_field in batch:
+            continue  # autoencoder-style: target aliases an input stream
         k = graph.shapes[l.name][2]
         if l.loss_function == LOSS.CROSS_ENTROPY_MULTINOMIAL:
             batch[l.data_field] = jnp.asarray(rng.randint(0, k, batch_size))
@@ -43,12 +45,47 @@ def synth_batch(graph, batch_size, rng):
     return batch
 
 
-def check_graph(graph, batch_size=8, samples=20, eps=1e-3, tol=2e-3, seed=0, log=print):
+def check_graph(
+    graph,
+    batch_size=8,
+    samples=20,
+    eps=1e-3,
+    tol=2e-3,
+    seed=0,
+    log=print,
+    use_x64=False,
+):
     """Returns (num_failures, max_rel_err). rel err per cuda-convnet:
-    |analytic - numeric| / max(1, |analytic| + |numeric|)."""
+    |analytic - numeric| / max(1, |analytic| + |numeric|).
+
+    use_x64: run the check in float64 (CPU backends). float32 central
+    differences carry cancellation noise ~ loss_magnitude * 1e-7 / eps,
+    which drowns the signal for large-loss models (e.g. squared-error
+    reconstruction); x64 removes it."""
+    if use_x64:
+        prev = jax.config.jax_enable_x64
+        jax.config.update("jax_enable_x64", True)
+        try:
+            return _check_graph_impl(
+                graph, batch_size, samples, eps, tol, seed, log, np.float64
+            )
+        finally:
+            jax.config.update("jax_enable_x64", prev)
+    return _check_graph_impl(graph, batch_size, samples, eps, tol, seed, log, None)
+
+
+def _check_graph_impl(graph, batch_size, samples, eps, tol, seed, log, cast):
     rng = np.random.RandomState(seed)
     params = model_lib.init_params(graph, seed=seed)
     batch = synth_batch(graph, batch_size, rng)
+    if cast is not None:
+        params = jax.tree.map(lambda a: jnp.asarray(np.asarray(a), cast), params)
+        batch = {
+            k: jnp.asarray(np.asarray(v), cast)
+            if np.issubdtype(np.asarray(v).dtype, np.floating)
+            else v
+            for k, v in batch.items()
+        }
 
     def loss_of(p):
         return model_lib.loss_fn(graph, p, batch, train=False)[0]
@@ -103,6 +140,12 @@ def build_argparser():
     )
     p.add_argument("--image-size", type=int, default=None, help="override input size")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--x64",
+        action="store_true",
+        help="check in float64 (CPU): required for large-loss models where "
+        "f32 finite differences are cancellation-limited",
+    )
     return p
 
 
@@ -122,6 +165,7 @@ def main(argv=None) -> int:
         eps=args.eps,
         tol=args.tol,
         seed=args.seed,
+        use_x64=args.x64,
     )
     print(f"grad check: {failures} failures, max rel err {max_rel:.2e}")
     return 1 if failures else 0

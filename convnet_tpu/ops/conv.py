@@ -68,10 +68,13 @@ def conv2d(
         window_strides=(stride, stride),
         padding=(pad_h, pad_w),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=None if compute_dtype is not None else jnp.float32,
+        # f32-or-wider accumulate; None in compute_dtype mode (see above)
+        preferred_element_type=None
+        if compute_dtype is not None
+        else jnp.promote_types(x.dtype, jnp.float32),
         precision=matmul_precision(compute_dtype),
     )
-    return out.astype(jnp.float32)
+    return out.astype(jnp.float32) if compute_dtype is not None else out
 
 
 def conv_onetoone(x: jax.Array, w: jax.Array, compute_dtype=None) -> jax.Array:
@@ -84,7 +87,7 @@ def conv_onetoone(x: jax.Array, w: jax.Array, compute_dtype=None) -> jax.Array:
         "bhwc,cd->bhwd",
         x,
         w,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.promote_types(x.dtype, jnp.float32),
         precision=matmul_precision(compute_dtype),
     )
 
@@ -99,5 +102,8 @@ def fc(x: jax.Array, w: jax.Array, compute_dtype=None) -> jax.Array:
         xf = xf.astype(compute_dtype)
         w = w.astype(compute_dtype)
     return jnp.dot(
-        xf, w, preferred_element_type=jnp.float32, precision=matmul_precision(compute_dtype)
+        xf,
+        w,
+        preferred_element_type=jnp.promote_types(xf.dtype, jnp.float32),
+        precision=matmul_precision(compute_dtype),
     )

@@ -188,3 +188,32 @@ def test_two_input_layers():
     assert len(g.input_layers) == 2
     failures, max_rel = check_graph(g, batch_size=4, samples=6, log=lambda *_: None)
     assert failures == 0, f"max rel err {max_rel}"
+
+
+def test_autoencoder_family_trains():
+    """The RGBTOYUV/DOWNSAMPLE/UPSAMPLE + SQUARED_ERROR family: grads
+    check out and reconstruction loss drops."""
+    import os
+
+    from convnet_tpu.trainer import init_state, make_train_step
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    g = build_graph(config.read_model(
+        os.path.join(repo, "examples/autoencoder/conv_autoencoder.pbtxt")),
+        {"input": 16})  # downsized for CPU speed
+    assert g.shapes["down"] == (8, 8, 3)
+    assert g.shapes["up"] == (16, 16, 32)
+    assert g.shapes["output"] == (16, 16, 3)
+
+    failures, max_rel = check_graph(g, batch_size=2, samples=4, eps=1e-6, use_x64=True, log=lambda *_: None)
+    assert failures == 0, f"max rel err {max_rel}"
+
+    step = make_train_step(g)
+    state = init_state(g)
+    rng = np.random.RandomState(0)
+    batch = {"input": jnp.asarray(rng.rand(32, 16, 16, 3).astype(np.float32))}
+    losses = []
+    for _ in range(30):
+        state, m = step(state, batch)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < 0.5 * losses[0], f"reconstruction loss stuck: {losses[0]:.4f} -> {losses[-1]:.4f}"
