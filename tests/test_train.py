@@ -221,3 +221,18 @@ def test_datahandler_alignment_and_epochs():
     epoch = np.concatenate(seen_labels[:4])
     ref = dh.streams["labels"].read_rows(np.arange(64))
     assert sorted(epoch.tolist()) == sorted(ref.tolist())
+
+
+def test_profile_trace_capture(tmp_path):
+    """--profile-dir captures a tensorboard-readable trace (SURVEY §5.1)."""
+    g = build_graph(config.parse_model(SMALL_NET))
+    td = make_handler("false", seed=3)
+    tr = Trainer(g, td, checkpoint_dir=None, log_fn=lambda *_: None)
+    prof = str(tmp_path / "prof")
+    tr.train(max_iter=20, profile_dir=prof)
+    td.close()
+    import glob
+
+    traces = glob.glob(os.path.join(prof, "**", "*.trace.json.gz"), recursive=True) + \
+        glob.glob(os.path.join(prof, "**", "*.xplane.pb"), recursive=True)
+    assert traces, f"no trace files under {prof}"
