@@ -8,7 +8,7 @@ so this is the toolkit's flagship fused Pallas kernel.
 Semantics (documented in proto/convnet_config.proto):
 
     n        = max(1, round(frac_of_filters * C))
-    window(i)= [i - (n-1)//2, i + n//2]            (sliding, clipped)
+    window(i)= [i - n//2, i + (n-1)//2]            (sliding, clipped)
              = block of size n containing i         (blocked)
     s_i      = sum_{j in window(i)} x_j^2
     d_i      = 1 + (add_scale / n) * s_i
@@ -54,15 +54,15 @@ def _band_matrix(num_channels: int, n: int, blocked: bool) -> np.ndarray:
     if blocked:
         mask = (j // n) == (i // n)
     else:
-        mask = (j >= i - (n - 1) // 2) & (j <= i + n // 2)
+        mask = (j >= i - n // 2) & (j <= i + (n - 1) // 2)
     return mask.astype(np.float32)
 
 
 def _window_sum(v, n: int, blocked: bool, c: int, transpose: bool = False):
     """Window sum over the last axis via n static shifted adds.
 
-    Forward:   s_i = sum_{d=-(n-1)//2..n//2} v_{i+d}
-    Transpose: t_j = sum_{d=-n//2..(n-1)//2} v_{j+d}
+    Forward:   s_i = sum_{d=-n//2..(n-1)//2} v_{i+d}
+    Transpose: t_j = sum_{d=-(n-1)//2..n//2} v_{j+d}
     Blocked windows are symmetric, so transpose == forward.
     """
     if blocked:
@@ -74,7 +74,7 @@ def _window_sum(v, n: int, blocked: bool, c: int, transpose: bool = False):
             )
         bmat = jnp.asarray(_band_matrix(c, n, True))
         return jax.lax.dot(v, bmat, preferred_element_type=jnp.float32)
-    lo, hi = (n - 1) // 2, n // 2
+    lo, hi = n // 2, (n - 1) // 2
     if transpose:
         lo, hi = hi, lo
     vp = jnp.pad(v, [(0, 0)] * (v.ndim - 1) + [(lo, hi)])

@@ -60,7 +60,7 @@ def naive_lrn(x, add_scale, pow_scale, frac, blocked=False):
         if blocked:
             lo, hi = (i // n) * n, min((i // n) * n + n, c)
         else:
-            lo, hi = max(0, i - (n - 1) // 2), min(c, i + n // 2 + 1)
+            lo, hi = max(0, i - n // 2), min(c, i + (n - 1) // 2 + 1)
         s = (xf[:, lo:hi] ** 2).sum(axis=1)
         out[:, i] = xf[:, i] * (1.0 + alpha * s) ** (-pow_scale)
     return out.reshape(x.shape).astype(np.float32)
