@@ -137,3 +137,20 @@ def test_local_edge_weights_sharded_over_model_axis():
     assert ps["conv3:conv4"]["w"].spec == P(None, None, None, "model")
     # fc6/fc7 column-parallel as before
     assert ps["pool5:fc6"]["w"].spec == P(None, "model")
+
+
+def test_compiled_hlo_contains_gradient_allreduce(graph):
+    """The DP+MP step's compiled HLO must contain cross-device collectives
+    (all-reduce for gradient sync over the data axis) — guards against a
+    sharding regression that silently replicates instead of distributing."""
+    mesh = mesh_lib.mesh_for_graph(graph)
+    step = make_train_step(graph, mesh=mesh)
+    state = init_state(graph)
+    bs = mesh_lib.batch_sharding(mesh)
+    rng = np.random.RandomState(0)
+    batch = {
+        "input": jax.device_put(rng.randn(16, 16, 16, 3).astype(np.float32), bs),
+        "labels": jax.device_put(rng.randint(0, 10, 16).astype(np.int32), bs),
+    }
+    hlo = step.lower(state, batch).compile().as_text()
+    assert "all-reduce" in hlo, "no all-reduce in compiled sharded step"
