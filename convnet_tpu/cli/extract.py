@@ -58,7 +58,15 @@ def main(argv=None) -> int:
     params = jax.tree.map(np.asarray, params)
     print(f"loaded {args.checkpoint} (step {step})")
 
-    fwd = make_forward(graph, args.layers, data.jitter_specs())
+    from convnet_tpu.parallel import mesh as mesh_lib
+
+    mesh = mesh_lib.mesh_for_graph(graph)
+    if mesh is not None and data.batch_size % mesh.shape.get("data", 1):
+        print("batch size not divisible by mesh data axis; extracting single-device")
+        mesh = None
+    fwd = make_forward(graph, args.layers, data.jitter_specs(), mesh=mesh)
+    if mesh is not None:
+        params = jax.device_put(params, mesh_lib.param_shardings(graph, mesh))
     dims = {
         name: int(np.prod(graph.shapes[name])) for name in args.layers
     }

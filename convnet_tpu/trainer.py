@@ -126,13 +126,21 @@ def make_eval_step(graph: Graph, jitter: Optional[JitterMap] = None, mesh=None):
     return jax.jit(eval_fn)
 
 
-def make_forward(graph: Graph, layers: List[str], jitter: Optional[JitterMap] = None):
-    """(params, batch) -> {layer: activations} for feature extraction."""
+def make_forward(
+    graph: Graph, layers: List[str], jitter: Optional[JitterMap] = None, mesh=None
+):
+    """(params, batch) -> {layer: activations} for feature extraction.
+    With a mesh: batch sharded over the data axis, params per the model's
+    sharding rules (multi-chip inference)."""
 
     def fwd(params, batch):
         proc = _preprocess(graph, jitter, batch, None, train=False)
         return model_lib.apply_fn(graph, params, proc, train=False, return_layers=layers)
 
+    if mesh is not None:
+        ps = mesh_lib.param_shardings(graph, mesh)
+        bs = mesh_lib.batch_sharding(mesh)
+        return jax.jit(fwd, in_shardings=(ps, bs), out_shardings=None)
     return jax.jit(fwd)
 
 

@@ -154,3 +154,20 @@ def test_compiled_hlo_contains_gradient_allreduce(graph):
     }
     hlo = step.lower(state, batch).compile().as_text()
     assert "all-reduce" in hlo, "no all-reduce in compiled sharded step"
+
+
+def test_sharded_forward_matches_single_device(graph):
+    from convnet_tpu import model as mlib
+    from convnet_tpu.trainer import make_forward
+
+    mesh = mesh_lib.mesh_for_graph(graph)
+    params = mlib.init_params(graph)
+    rng = np.random.RandomState(1)
+    batch = {"input": rng.randn(16, 16, 16, 3).astype(np.float32)}
+    f1 = make_forward(graph, ["fc1", "output"])
+    fN = make_forward(graph, ["fc1", "output"], mesh=mesh)
+    o1 = jax.device_get(f1(params, batch))
+    pN = jax.device_put(params, mesh_lib.param_shardings(graph, mesh))
+    oN = jax.device_get(fN(pN, batch))
+    for k in o1:
+        np.testing.assert_allclose(np.asarray(o1[k]), np.asarray(oN[k]), rtol=1e-4, atol=1e-5)
