@@ -37,7 +37,7 @@ def conv_flops_per_image(graph):
 def main():
     import jax
 
-    from convnet_tpu import config, model as model_lib
+    from convnet_tpu import config
     from convnet_tpu.trainer import enable_compilation_cache
 
     enable_compilation_cache()

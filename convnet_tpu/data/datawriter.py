@@ -8,7 +8,7 @@ configs[3]).
 
 from __future__ import annotations
 
-from typing import Dict, Sequence
+from typing import Dict
 
 import h5py
 import numpy as np

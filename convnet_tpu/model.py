@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from convnet_tpu.graph import ACT, ET, INIT, LOSS, EdgeSpec, Graph
+from convnet_tpu.graph import ET, INIT, LOSS, EdgeSpec, Graph
 from convnet_tpu.ops import losses as losses_ops
 from convnet_tpu.ops.activations import apply_activation
 from convnet_tpu.ops.conv import conv2d, conv_onetoone, fc

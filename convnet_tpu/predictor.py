@@ -17,7 +17,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from convnet_tpu import checkpoint as ckpt
-from convnet_tpu import model as model_lib
 from convnet_tpu.graph import Graph
 from convnet_tpu.trainer import JitterMap, make_forward
 

@@ -14,7 +14,6 @@ pinned staging.
 
 from __future__ import annotations
 
-import functools
 import time
 import zlib
 from typing import Any, Dict, List, Optional, Tuple

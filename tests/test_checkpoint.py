@@ -4,8 +4,6 @@
 import numpy as np
 import h5py
 
-import jax.numpy as jnp
-
 from convnet_tpu import checkpoint as ckpt
 from convnet_tpu import config, model as model_lib
 from convnet_tpu.graph import build_graph

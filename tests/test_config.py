@@ -6,8 +6,8 @@ import os
 
 import pytest
 
-from convnet_tpu import config, graph
-from convnet_tpu.graph import ACT, ET, LOSS, build_graph, conv_out_size
+from convnet_tpu import config
+from convnet_tpu.graph import LOSS, build_graph, conv_out_size
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 EXAMPLE_PBTXTS = sorted(glob.glob(os.path.join(REPO, "examples", "*", "*.pbtxt")))

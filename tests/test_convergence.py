@@ -5,11 +5,9 @@ CLI, validation — must reach high accuracy (SURVEY.md §4 implication
 error)."""
 
 import os
-import subprocess
 import sys
 
 import h5py
-import numpy as np
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)

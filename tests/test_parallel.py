@@ -8,7 +8,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
-from convnet_tpu import config, model as model_lib
+from convnet_tpu import config
 from convnet_tpu.graph import build_graph
 from convnet_tpu.parallel import mesh as mesh_lib
 from convnet_tpu.trainer import init_state, make_train_step
