@@ -141,3 +141,15 @@ def test_extract_over_sliding_windows(tmp_path):
         # 2 images, 4x4 window grid each at stride 8 on 40px -> 32 windows,
         # ALL extracted (final partial batch padded then trimmed)
         assert n == 2 * 16
+
+
+def test_train_cli_data_parallel_mesh(tmp_path):
+    """Train through the CLI over a 4-way data-parallel virtual mesh."""
+    out = str(tmp_path / "dp")
+    rc = train.main([MNIST, DTRAIN, "--output-dir", out, "--max-iter", "4",
+                     "--batch-size", "32", "--data-parallel", "4"])
+    assert rc == 0
+    ckpts = glob.glob(os.path.join(out, "*.h5"))
+    assert ckpts, "no checkpoint written by DP training"
+    with h5py.File(ckpts[0]) as f:
+        assert f.attrs["step"] == 4
