@@ -176,6 +176,12 @@ def apply_fn(
     want = set(return_layers) if return_layers is not None else None
 
     for l in graph.input_layers:
+        if l.data_field not in batch:
+            raise ValueError(
+                f"input layer {l.name!r} expects data field {l.data_field!r} "
+                f"but the batch has {sorted(batch)} — check the data config's "
+                "layer_name / the layer's data_field"
+            )
         x = batch[l.data_field]
         if x.ndim != 4:
             raise ValueError(f"input {l.name}: expected NHWC, got shape {x.shape}")
@@ -239,6 +245,12 @@ def loss_fn(
     for l in graph.output_layers:
         logits = outs[f"{l.name}:preact"]
         batch_size = logits.shape[0]
+        if l.data_field not in batch:
+            raise ValueError(
+                f"output layer {l.name!r} expects target field {l.data_field!r} "
+                f"but the batch has {sorted(batch)} — check the data config's "
+                "layer_name / the layer's data_field"
+            )
         target = batch[l.data_field]
         if l.loss_function == LOSS.CROSS_ENTROPY_MULTINOMIAL:
             target = target.reshape(-1)

@@ -188,6 +188,16 @@ class Trainer:
                     f"batch_size {train_data.batch_size} not divisible by the "
                     f"mesh's data axis ({dp} ways)"
                 )
+        # fail fast on model<->data config mismatches
+        need = {l.data_field for l in graph.input_layers} | {
+            l.data_field for l in graph.output_layers
+        }
+        have = set(train_data.streams)
+        if not need <= have:
+            raise ValueError(
+                f"data config provides streams {sorted(have)} but the model "
+                f"needs fields {sorted(need)} (missing: {sorted(need - have)})"
+            )
         jitter = train_data.jitter_specs()
         eval_jitter = val_data.jitter_specs() if val_data is not None else jitter
         self._train_step = make_train_step(graph, jitter, self.mesh)

@@ -236,3 +236,19 @@ def test_profile_trace_capture(tmp_path):
     traces = glob.glob(os.path.join(prof, "**", "*.trace.json.gz"), recursive=True) + \
         glob.glob(os.path.join(prof, "**", "*.xplane.pb"), recursive=True)
     assert traces, f"no trace files under {prof}"
+
+
+def test_trainer_rejects_missing_stream():
+    g = build_graph(config.parse_model(SMALL_NET))
+    cfg = config.parse_dataset_config(
+        """
+        name: "incomplete"
+        batch_size: 32
+        pipeline_loads: false
+        data_config { layer_name: "input" data_type: DUMMY image_size: 12 num_colors: 1 dummy_size: 64 }
+        """
+    )
+    dh = DataHandler(cfg)
+    with pytest.raises(ValueError, match="missing.*labels"):
+        Trainer(g, dh, log_fn=lambda *_: None)
+    dh.close()
