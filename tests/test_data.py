@@ -305,3 +305,31 @@ def test_make_raw_cache_tool(tmp_path):
     r = RawCacheReader(out)
     np.testing.assert_array_equal(r.gather(np.arange(20)), arr)
     r.close()
+
+
+def test_iter_epoch_partial_batch_and_reset():
+    cfg = config.parse_dataset_config(
+        """
+        name: "ep"
+        batch_size: 10
+        pipeline_loads: true
+        randomize_cpu: true
+        data_config { layer_name: "input" data_type: DUMMY image_size: 4 num_colors: 1 dummy_size: 23 }
+        """
+    )
+    dh = DataHandler(cfg, seed=0)
+    batches = list(dh.iter_epoch())
+    # 23 rows at batch 10 -> 10, 10, 3(valid of padded 10)
+    assert [v for _, v in batches] == [10, 10, 3]
+    assert all(b["input"].shape == (10, 4, 4, 1) for b, _ in batches)
+    # last batch padding repeats the final row
+    last, valid = batches[-1]
+    np.testing.assert_array_equal(last["input"][valid - 1], last["input"][-1])
+    # iter_epoch is deterministic and independent of the shuffled stream
+    again = list(dh.iter_epoch())
+    np.testing.assert_array_equal(batches[0][0]["input"], again[0][0]["input"])
+    # reset restarts prefetch cleanly
+    dh.reset()
+    b = dh.get_batch()
+    assert b["input"].shape == (10, 4, 4, 1)
+    dh.close()
