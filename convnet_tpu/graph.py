@@ -209,6 +209,7 @@ class Graph:
     checkpoint_after: int = 0
     checkpoint_dir: str = ""
     compute_dtype: str = "float32"
+    activation_dtype: str = ""
     parallel_data: int = 1
     parallel_model: int = 1
     remat: bool = False
@@ -387,6 +388,7 @@ def build_graph(
         checkpoint_after=model.checkpoint_after,
         checkpoint_dir=model.checkpoint_dir,
         compute_dtype=model.compute_dtype,
+        activation_dtype=model.activation_dtype,
         parallel_data=max(1, par.data),
         parallel_model=max(1, par.model),
         remat=model.remat,

@@ -171,6 +171,9 @@ def apply_fn(
     `return_layers` (default: all layers) plus "<name>:preact" for
     output layers (the logits the losses consume)."""
     cdt = jnp.bfloat16 if graph.compute_dtype == "bfloat16" else None
+    # storage dtype: activations (the backward pass's residuals) kept in
+    # bf16 halve HBM residual traffic; f32 by default
+    adt = jnp.bfloat16 if graph.activation_dtype == "bfloat16" else None
     acts: Dict[str, jax.Array] = {}
     out: Dict[str, jax.Array] = {}
     want = set(return_layers) if return_layers is not None else None
@@ -217,7 +220,7 @@ def apply_fn(
                 )
                 a = jnp.where(mask, a / keep, 0.0)  # inverted dropout
             drop_i += 1
-            acts[name] = a
+            acts[name] = a.astype(adt) if adt is not None else a
         if want is None or name in want:
             out[name] = acts[name]
     return out

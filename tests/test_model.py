@@ -217,3 +217,21 @@ def test_autoencoder_family_trains():
         state, m = step(state, batch)
         losses.append(float(m["loss"]))
     assert losses[-1] < 0.5 * losses[0], f"reconstruction loss stuck: {losses[0]:.4f} -> {losses[-1]:.4f}"
+
+
+def test_bf16_activation_storage_close_to_f32(tiny):
+    params = model_lib.init_params(tiny)
+    rng = np.random.RandomState(2)
+    batch = synth_batch(tiny, 4, rng)
+    text = TINY_NET.replace(
+        'name: "tiny"',
+        'name: "tiny" compute_dtype: "bfloat16" activation_dtype: "bfloat16"',
+    )
+    gbf = build_graph(config.parse_model(text))
+    out32 = model_lib.apply_fn(tiny, params, batch)["output"]
+    out16 = model_lib.apply_fn(gbf, params, batch)["output"]
+    np.testing.assert_allclose(np.asarray(out32), np.asarray(out16), atol=0.07)
+    # gradients still flow and are finite
+    g = jax.grad(lambda p: model_lib.loss_fn(gbf, p, batch, train=False)[0])(params)
+    for leaf in jax.tree.leaves(g):
+        assert np.isfinite(np.asarray(leaf)).all()
