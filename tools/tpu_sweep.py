@@ -29,6 +29,7 @@ def time_variant(batch, dtype, steps):
     model.parallel.data = 1
     model.parallel.model = 1
     model.compute_dtype = dtype
+    model.activation_dtype = "bfloat16" if dtype == "bfloat16" else ""
     graph = build_graph(model)
     jitter = {
         "input": (
