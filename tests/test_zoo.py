@@ -60,3 +60,18 @@ def test_predictor_aot_and_partial_batch(tmp_path):
 
     with pytest.raises(ValueError, match="exceeds compiled"):
         p({"input": rng.randn(9, 6, 6, 2).astype(np.float32)})
+
+
+def test_timer_accumulates():
+    import time as _time
+
+    from convnet_tpu.utils import Timer
+
+    t = Timer()
+    with t:
+        _time.sleep(0.01)
+    with t:
+        _time.sleep(0.01)
+    assert t.count == 2
+    assert 0.005 < t.mean < 1.0
+    assert t.total >= 0.02
