@@ -41,6 +41,12 @@ def save(
     os.makedirs(directory, exist_ok=True)
     ts = timestamp or _timestamp()
     path = checkpoint_path(directory, model_name, ts)
+    # second-resolution timestamps can collide (fast tests, rapid saves);
+    # suffixed names still sort after the base name lexically
+    i = 0
+    while timestamp is None and os.path.exists(path):
+        i += 1
+        path = checkpoint_path(directory, model_name, f"{ts}_{i}")
     with h5py.File(path, "w") as f:
         f.attrs["step"] = int(step)
         f.attrs["model_name"] = model_name

@@ -22,7 +22,12 @@ from convnet_tpu.trainer import JitterMap, make_forward
 
 
 class Predictor:
-    """Compiled fixed-batch forward pass over chosen layers."""
+    """Compiled fixed-batch forward pass over chosen layers.
+
+    Inputs are expected at the model's (cropped) image size; when a
+    jitter map is given its mean/scale normalization is applied but the
+    compiled shape is the crop size — resize/crop larger sources on the
+    client (or go through the extract CLI, which handles raw sizes)."""
 
     def __init__(
         self,
