@@ -49,13 +49,16 @@ def main():
     model = config.read_model(os.path.join(here, "examples/imagenet/alexnet.pbtxt"))
     model.parallel.data = 1  # single-chip benchmark
     model.parallel.model = 1
-    graph = build_graph(model)
+    # BENCH_IMAGE_SIZE: CPU smoke-testing hook (default: full 224 AlexNet)
+    size = int(os.environ.get("BENCH_IMAGE_SIZE", "224"))
+    raw = size + 32
+    graph = build_graph(model, {"input": size})
 
     batch = int(os.environ.get("BENCH_BATCH", "256"))
     steps = int(os.environ.get("BENCH_STEPS", "20"))
     jitter = {
         "input": (
-            JitterSpec(image_size=224, can_translate=True, can_flip=True, scale=1 / 255),
+            JitterSpec(image_size=size, can_translate=True, can_flip=True, scale=1 / 255),
             np.full((3,), 0.45, np.float32),
             None,
         )
@@ -64,7 +67,7 @@ def main():
     state = init_state(graph)
     rng = np.random.RandomState(0)
     data = {
-        "input": jax.device_put(rng.randint(0, 256, (batch, 256, 256, 3), dtype=np.uint8)),
+        "input": jax.device_put(rng.randint(0, 256, (batch, raw, raw, 3), dtype=np.uint8)),
         "labels": jax.device_put(rng.randint(0, 1000, (batch,), dtype=np.int32)),
     }
 
