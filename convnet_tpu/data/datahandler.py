@@ -46,6 +46,9 @@ class Stream:
     def read_rows(self, indices: np.ndarray) -> np.ndarray:
         raise NotImplementedError
 
+    def close(self):
+        """Release file handles / worker pools (optional per subclass)."""
+
     def _maybe_reshape_images(self, arr: np.ndarray) -> np.ndarray:
         """Flat (N, H*W*C) rows -> (N, H, W, C) when the config gives a
         spatial size (reference stores flattened rows in HDF5 [U])."""
@@ -131,6 +134,9 @@ class RawCacheStream(Stream):
 
     def read_rows(self, indices: np.ndarray) -> np.ndarray:
         return self._maybe_reshape_images(self._reader.gather(indices))
+
+    def close(self):
+        self._reader.close()
 
 
 def make_stream(cfg: pb.DataStreamConfig) -> Stream:
@@ -285,6 +291,8 @@ class DataHandler:
             self._thread.join(timeout=2.0)
             self._thread = None
         self._queue = None
+        for s in self.streams.values():
+            s.close()
 
     # -- metadata for the trainer ------------------------------------------
 

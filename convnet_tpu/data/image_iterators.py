@@ -88,6 +88,10 @@ class RawImageStream(Stream):
     def num_rows(self) -> int:
         return len(self._paths)
 
+    def close(self):
+        if self._native is None and hasattr(self, "_pool"):
+            self._pool.shutdown(wait=False)
+
     def read_rows(self, indices: np.ndarray) -> np.ndarray:
         if self._native is not None:
             return self._native.load(indices)
