@@ -197,6 +197,11 @@ def apply_fn(
             z = None
             for e in graph.incoming(name):
                 p = params.get(e.name)
+                if p is None and e.has_weights:
+                    raise ValueError(
+                        f"no parameters for edge {e.name!r} — checkpoint/params "
+                        f"provide {sorted(params)} (wrong checkpoint for this model?)"
+                    )
                 if graph.remat and train and e.has_weights:
                     # rematerialize: recompute this edge's output in the
                     # backward pass instead of storing it (Model.remat;

@@ -66,3 +66,22 @@ def test_pretrained_initialization(tmp_path):
     params = model_lib.init_params(g)
     np.testing.assert_array_equal(np.asarray(params["input:output"]["w"]), donor["input:output"]["w"])
     np.testing.assert_array_equal(np.asarray(params["input:output"]["b"]), donor["input:output"]["b"])
+
+
+def test_wrong_checkpoint_yields_clear_error(tmp_path):
+    from convnet_tpu import config as cfg, model as model_lib
+    from convnet_tpu.graph import build_graph
+    import jax.numpy as jnp
+    import pytest
+
+    g = build_graph(cfg.parse_model(
+        """
+        name: "m"
+        layer { name: "input" is_input: true num_channels: 4 }
+        layer { name: "output" is_output: true num_channels: 2 activation: SOFTMAX data_field: "labels" }
+        edge { source: "input" dest: "output" edge_type: FC }
+        """
+    ))
+    with pytest.raises(ValueError, match="wrong checkpoint"):
+        model_lib.apply_fn(g, {"other:edge": {"w": jnp.zeros((4, 2)), "b": jnp.zeros(2)}},
+                           {"input": jnp.ones((2, 1, 1, 4))})
