@@ -2,7 +2,7 @@
 # Runtime needs nothing built: generated protobuf code is checked in and
 # the native data-loader is optional (Python fallback exists).
 
-.PHONY: proto native test clean
+.PHONY: proto native test bench dryrun clean
 
 proto:
 	cd convnet_tpu/proto && protoc --python_out=. convnet_config.proto
@@ -12,6 +12,13 @@ native:
 
 test:
 	python -m pytest tests/ -x -q
+
+bench:  # headline AlexNet img/s on the local accelerator
+	python bench.py
+
+dryrun:  # multi-chip sharding validation on an 8-device virtual CPU mesh
+	XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+	python -c "import __graft_entry__ as g; g.dryrun_multichip(8)"
 
 clean:
 	$(MAKE) -C native clean || true
