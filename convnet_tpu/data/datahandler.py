@@ -81,13 +81,17 @@ class HDF5Stream(Stream):
         return self._ds.shape[0]
 
     def read_rows(self, indices: np.ndarray) -> np.ndarray:
-        # h5py fancy indexing requires increasing order; undo afterwards.
-        order = np.argsort(indices, kind="stable")
-        sorted_idx = indices[order]
-        rows = self._ds[sorted_idx]
-        out = np.empty_like(rows)
-        out[order] = rows
-        return self._maybe_reshape_images(out)
+        # h5py fancy indexing requires strictly increasing, duplicate-free
+        # selections; iter_epoch pads partial batches by repeating the last
+        # index, so dedup via unique + inverse mapping.
+        uniq, inv = np.unique(indices, return_inverse=True)
+        rows = self._ds[uniq][inv]
+        return self._maybe_reshape_images(rows)
+
+    def close(self):
+        if self._file is not None:
+            self._file.close()
+            self._file = None
 
 
 class DummyStream(Stream):
@@ -197,6 +201,8 @@ class DataHandler:
         self._queue: Optional[queue.Queue] = None
         self._thread: Optional[threading.Thread] = None
         self._stop = threading.Event()
+        self._error: Optional[BaseException] = None
+        self._closed = False
         if cfg.pipeline_loads:
             self._start_prefetch(max(1, cfg.prefetch_depth))
 
@@ -237,26 +243,33 @@ class DataHandler:
         self._queue = queue.Queue(maxsize=depth)
 
         def worker():
-            while not self._stop.is_set():
-                batch = self._produce()
+            try:
                 while not self._stop.is_set():
-                    try:
-                        self._queue.put(batch, timeout=0.1)
-                        break
-                    except queue.Full:
-                        continue
+                    batch = self._produce()
+                    while not self._stop.is_set():
+                        try:
+                            self._queue.put(batch, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+            except BaseException as e:  # propagate to get_batch, don't hang
+                self._error = e
+                self._stop.set()
 
         self._thread = threading.Thread(target=worker, daemon=True)
         self._thread.start()
 
     def get_batch(self) -> Dict[str, np.ndarray]:
         """Next {layer_name: rows} batch (blocks on the prefetch queue).
-        Raises RuntimeError if the handler was closed mid-wait."""
+        Re-raises a prefetch-worker error; raises RuntimeError if the
+        handler was closed mid-wait."""
         if self._queue is not None:
             while True:
                 try:
                     return self._queue.get(timeout=0.2)
                 except queue.Empty:
+                    if self._error is not None:
+                        raise RuntimeError("DataHandler prefetch failed") from self._error
                     if self._stop.is_set():
                         raise RuntimeError("DataHandler closed while waiting for batch")
         return self._produce()
@@ -277,20 +290,32 @@ class DataHandler:
             yield {name: s.read_rows(idx) for name, s in self.streams.items()}, valid
 
     def reset(self):
-        """Restart from the beginning (eval epochs)."""
-        self.close()
+        """Restart from the beginning (eval epochs). Stops and restarts the
+        prefetch thread but keeps the underlying streams open — closing them
+        (thread pools, mmap handles, HDF5 files) would kill later reads."""
+        if self._closed:
+            raise RuntimeError("DataHandler is closed; create a new one")
+        self._stop_prefetch()
+        self._error = None
         self._pos = 0
         self._order = self._make_order()
         self._stop = threading.Event()
         if self.cfg.pipeline_loads:
             self._start_prefetch(max(1, self.cfg.prefetch_depth))
 
-    def close(self):
+    def _stop_prefetch(self):
         self._stop.set()
         if self._thread is not None:
             self._thread.join(timeout=2.0)
             self._thread = None
         self._queue = None
+
+    def close(self):
+        """Stop prefetch and release stream resources. Idempotent."""
+        if self._closed:
+            return
+        self._closed = True
+        self._stop_prefetch()
         for s in self.streams.values():
             s.close()
 

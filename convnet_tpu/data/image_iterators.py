@@ -72,17 +72,45 @@ class RawImageStream(Stream):
         if not self._raw:
             raise ValueError(f"stream {cfg.layer_name}: needs raw_image_size or image_size")
         self._native = None
-        try:
-            from convnet_tpu.data import native
+        # The native loader decodes JPEG only (libjpeg); route PNG/BMP/etc.
+        # lists to the PIL pool. Check magic bytes, not extensions — file
+        # lists in the wild have mislabeled/extensionless entries.
+        if self._all_jpeg(self._paths):
+            try:
+                from convnet_tpu.data import native
 
-            if native.available():
-                self._native = native.NativeImageLoader(
-                    self._paths, self._raw, cfg.num_colors, num_threads
-                )
-        except Exception:
-            self._native = None
+                if native.available():
+                    self._native = native.NativeImageLoader(
+                        self._paths, self._raw, cfg.num_colors, num_threads
+                    )
+            except Exception:
+                self._native = None
         if self._native is None:
             self._pool = concurrent.futures.ThreadPoolExecutor(num_threads)
+
+    @staticmethod
+    def _all_jpeg(paths: List[str], sniff_limit: int = 64) -> bool:
+        """True when every path looks like a JPEG. Extensions decide when
+        present; for extensionless/odd names, sniff the SOI magic of up to
+        sniff_limit of them (beyond that, be conservative and say no)."""
+        to_sniff = []
+        for p in paths:
+            ext = os.path.splitext(p)[1].lower()
+            if ext in (".jpg", ".jpeg", ".jpe", ".jfif"):
+                continue
+            if ext in (".png", ".bmp", ".gif", ".tif", ".tiff", ".webp", ".ppm", ".pgm"):
+                return False
+            to_sniff.append(p)
+            if len(to_sniff) > sniff_limit:
+                return False
+        for p in to_sniff:
+            try:
+                with open(p, "rb") as f:
+                    if f.read(2) != b"\xff\xd8":
+                        return False
+            except OSError:
+                return False
+        return True
 
     @property
     def num_rows(self) -> int:

@@ -151,6 +151,8 @@ class RawCacheReader:
             )
 
     def gather(self, indices: np.ndarray) -> np.ndarray:
+        if self._handle is None and not hasattr(self, "_mm"):
+            raise RuntimeError("RawCacheReader is closed")
         idx = np.ascontiguousarray(indices, dtype=np.int64)
         if self._handle is not None:
             out = np.empty((len(idx), self.row_bytes), np.uint8)

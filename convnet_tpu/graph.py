@@ -251,16 +251,28 @@ class Graph:
                 order.append(e.dest)
         return order
 
+    @property
+    def _key(self):
+        """Identity for jit static-arg use: everything that changes the
+        traced computation must be here (hash and eq derive from the same
+        tuple so two graphs differing only in precision/remat/sharding
+        never share a compiled trace)."""
+        return (
+            self.layers,
+            self.edges,
+            tuple(sorted(self.shapes.items())),
+            self.compute_dtype,
+            self.activation_dtype,
+            self.parallel_data,
+            self.parallel_model,
+            self.remat,
+        )
+
     def __hash__(self):  # usable as a static arg under jax.jit
-        return hash((self.name, self.layers, self.edges))
+        return hash(self._key)
 
     def __eq__(self, other):
-        return (
-            isinstance(other, Graph)
-            and self.layers == other.layers
-            and self.edges == other.edges
-            and self.shapes == other.shapes
-        )
+        return isinstance(other, Graph) and self._key == other._key
 
 
 def _edge_out_shape(

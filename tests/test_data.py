@@ -333,3 +333,180 @@ def test_iter_epoch_partial_batch_and_reset():
     b = dh.get_batch()
     assert b["input"].shape == (10, 4, 4, 1)
     dh.close()
+
+
+# ---------------------------------------------------------------------------
+# round-2 regressions: reset over resource-backed streams, prefetch error
+# propagation, HDF5 duplicate-index reads, PNG routing
+# ---------------------------------------------------------------------------
+
+
+def test_reset_raw_cache_stream(tmp_path):
+    """reset() must not kill the mmap/native handle (round-1 bug: reset
+    closed the RawCacheReader then kept reading)."""
+    from convnet_tpu.data.native import write_raw_cache
+
+    imgs = np.random.RandomState(4).randint(0, 255, (32, 4, 4, 1), dtype=np.uint8)
+    write_raw_cache(str(tmp_path / "x.cache"), imgs)
+    cfg = config.parse_dataset_config(
+        f"""
+        name: "rcr"
+        batch_size: 8
+        pipeline_loads: true
+        data_config {{ layer_name: "input" data_type: RAW_CACHE
+                      file_pattern: "{tmp_path / 'x.cache'}" image_size: 4 num_colors: 1 }}
+        """
+    )
+    dh = DataHandler(cfg, seed=0)
+    dh.get_batch()
+    dh.reset()
+    b = dh.get_batch()
+    assert b["input"].shape == (8, 4, 4, 1)
+    dh.close()
+    with pytest.raises(RuntimeError):
+        dh.reset()  # closed handlers stay closed
+
+
+def test_reset_image_raw_stream(jpeg_dir):
+    listfile, _ = jpeg_dir
+    cfg = config.parse_dataset_config(
+        f"""
+        name: "imr"
+        batch_size: 2
+        pipeline_loads: true
+        data_config {{ layer_name: "input" data_type: IMAGE_RAW file_pattern: "{listfile}"
+                      image_size: 20 raw_image_size: 24 num_colors: 3 }}
+        """
+    )
+    dh = DataHandler(cfg, seed=0)
+    dh.get_batch()
+    dh.reset()
+    b = dh.get_batch()
+    assert b["input"].shape == (2, 24, 24, 3)
+    dh.close()
+
+
+def test_reset_hdf5_stream(tmp_path):
+    arr = np.random.RandomState(5).rand(20, 3).astype(np.float32)
+    p = str(tmp_path / "d.h5")
+    with h5py.File(p, "w") as f:
+        f.create_dataset("input", data=arr)
+    cfg = config.parse_dataset_config(
+        f"""
+        name: "h5r"
+        batch_size: 5
+        pipeline_loads: true
+        data_config {{ layer_name: "input" data_type: HDF5 file_pattern: "{p}" }}
+        """
+    )
+    dh = DataHandler(cfg, seed=0)
+    first = dh.get_batch()["input"].copy()
+    dh.get_batch()
+    dh.reset()
+    again = dh.get_batch()["input"]
+    np.testing.assert_array_equal(first, again)  # deterministic restart
+    dh.close()
+
+
+def test_prefetch_error_propagates(tmp_path):
+    """A stream error inside the prefetch worker must surface in
+    get_batch(), not hang forever (round-1 bug)."""
+
+    class BoomStream:
+        num_rows = 100
+
+        def read_rows(self, idx):
+            raise ValueError("boom")
+
+        def close(self):
+            pass
+
+    cfg = config.parse_dataset_config(
+        """
+        name: "er"
+        batch_size: 4
+        pipeline_loads: true
+        data_config { layer_name: "input" data_type: DUMMY image_size: 4 num_colors: 1 dummy_size: 100 }
+        """
+    )
+    dh = DataHandler(cfg, seed=0)
+    dh._stop_prefetch()
+    dh.streams["input"] = BoomStream()
+    dh._stop = __import__("threading").Event()
+    dh._start_prefetch(2)
+    with pytest.raises(RuntimeError, match="prefetch failed"):
+        # drain any batch produced before the swap, then hit the error
+        for _ in range(10):
+            dh.get_batch()
+    dh.close()
+
+
+def test_hdf5_read_rows_with_duplicates(tmp_path):
+    """iter_epoch pads partial batches by repeating the last index; h5py
+    forbids duplicate fancy selections (round-1 bug in extract)."""
+    arr = np.arange(14 * 2, dtype=np.float32).reshape(14, 2)
+    p = str(tmp_path / "dup.h5")
+    with h5py.File(p, "w") as f:
+        f.create_dataset("input", data=arr)
+    cfg = config.parse_dataset_config(
+        f"""
+        name: "dup"
+        batch_size: 4
+        pipeline_loads: false
+        data_config {{ layer_name: "input" data_type: HDF5 file_pattern: "{p}" }}
+        """
+    )
+    dh = DataHandler(cfg, randomize=False)
+    s = dh.streams["input"]
+    got = s.read_rows(np.array([3, 3, 1, 13, 3]))
+    np.testing.assert_array_equal(got, arr[[3, 3, 1, 13, 3]])
+    # full epoch over 14 rows at batch 4 -> last batch padded with dup indices
+    batches = list(dh.iter_epoch())
+    assert [v for _, v in batches] == [4, 4, 4, 2]
+    np.testing.assert_array_equal(batches[-1][0]["input"][-1], arr[13])
+    dh.close()
+
+
+def test_png_list_routes_to_pil(tmp_path):
+    """PNG file lists must skip the native JPEG-only loader."""
+    from PIL import Image
+    from convnet_tpu.data.image_iterators import RawImageStream
+
+    rng = np.random.RandomState(6)
+    paths = []
+    for i in range(3):
+        arr = rng.randint(0, 255, (30, 40, 3), dtype=np.uint8)
+        p = str(tmp_path / f"img{i}.png")
+        Image.fromarray(arr).save(p)
+        paths.append(p)
+    listfile = str(tmp_path / "list.txt")
+    with open(listfile, "w") as f:
+        f.write("\n".join(paths))
+    cfg = config.parse_dataset_config(
+        f"""
+        name: "png"
+        data_config {{ layer_name: "input" data_type: IMAGE_RAW file_pattern: "{listfile}"
+                      image_size: 16 raw_image_size: 20 num_colors: 3 }}
+        """
+    ).data_config[0]
+    s = RawImageStream(cfg)
+    assert s._native is None  # PNG -> PIL pool
+    rows = s.read_rows(np.array([0, 1, 2]))
+    assert rows.shape == (3, 20, 20, 3) and rows.std() > 1
+    s.close()
+
+
+def test_jpeg_magic_sniff_without_extension(tmp_path, jpeg_dir):
+    """Extensionless JPEGs are detected by magic bytes and still allowed
+    on the native path; non-JPEG magic is rejected."""
+    import shutil
+    from convnet_tpu.data.image_iterators import RawImageStream
+
+    _, jpaths = jpeg_dir
+    noext = str(tmp_path / "photo")
+    shutil.copy(jpaths[0], noext)
+    assert RawImageStream._all_jpeg([noext, jpaths[1]])
+    fake = str(tmp_path / "fake")
+    with open(fake, "wb") as f:
+        f.write(b"\x89PNG\r\n")
+    assert not RawImageStream._all_jpeg([fake])

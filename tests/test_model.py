@@ -235,3 +235,17 @@ def test_bf16_activation_storage_close_to_f32(tiny):
     g = jax.grad(lambda p: model_lib.loss_fn(gbf, p, batch, train=False)[0])(params)
     for leaf in jax.tree.leaves(g):
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_graph_identity_includes_precision_and_remat(tiny):
+    """Graphs differing only in compute dtype / remat must not compare
+    equal (they would otherwise share a jit trace compiled for the other
+    configuration)."""
+    import dataclasses
+
+    bf16 = dataclasses.replace(tiny, compute_dtype="bfloat16")
+    remat = dataclasses.replace(tiny, remat=True)
+    assert tiny != bf16 and tiny != remat and bf16 != remat
+    assert hash(tiny) != hash(bf16) or tiny._key != bf16._key
+    same = dataclasses.replace(tiny)
+    assert tiny == same and hash(tiny) == hash(same)
