@@ -8,13 +8,26 @@ north-star workload — and prints ONE JSON line.
 comparison point is the XLA-conv roofline BASELINE.json names: measured
 images/sec divided by the bf16-peak-FLOPs-derived bound for this chip
 (~3x forward FLOPs per train step). 1.0 would be speed-of-light.
+
+Resilience: the axon TPU tunnel can wedge (backend init hangs
+indefinitely — BASELINE.md notes). The outer runner therefore
+(1) pre-flight-probes the device in a short-timeout subprocess with
+backoff before spending the budget on a full attempt, and (2) walks a
+shrink-on-retry ladder (fewer steps, smaller batch) so *some* real
+number lands even on a flaky tunnel. Children are SIGTERMed before
+SIGKILL so the axon client can release its chip claim.
 """
 
 import json
 import os
+import signal
+import subprocess
+import sys
 import time
 
 import numpy as np
+
+METRIC = "alexnet_train_images_per_sec_per_chip"
 
 
 def conv_flops_per_image(graph):
@@ -34,7 +47,7 @@ def conv_flops_per_image(graph):
     return total
 
 
-def main():
+def main(batch=None, steps=None):
     import jax
 
     from convnet_tpu import config
@@ -54,8 +67,8 @@ def main():
     raw = size + 32
     graph = build_graph(model, {"input": size})
 
-    batch = int(os.environ.get("BENCH_BATCH", "256"))
-    steps = int(os.environ.get("BENCH_STEPS", "20"))
+    batch = batch or int(os.environ.get("BENCH_BATCH", "256"))
+    steps = steps or int(os.environ.get("BENCH_STEPS", "20"))
     jitter = {
         "input": (
             JitterSpec(image_size=size, can_translate=True, can_flip=True, scale=1 / 255),
@@ -94,7 +107,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "alexnet_train_images_per_sec_per_chip",
+                "metric": METRIC,
                 "value": round(ips, 1),
                 "unit": "images/sec",
                 "vs_baseline": round(ips / roofline_ips, 4),
@@ -103,45 +116,121 @@ def main():
     )
 
 
-def _watchdog_main():
-    """Run the measurement in a child process under a watchdog: a wedged
-    TPU tunnel (axon backend init can hang indefinitely — see
-    BASELINE.md notes) must produce a JSON line, not a hung driver."""
-    import subprocess
-    import sys
+# ---------------------------------------------------------------------------
+# resilient outer runner
+# ---------------------------------------------------------------------------
 
-    budget = int(os.environ.get("BENCH_TIMEOUT_S", "900"))
+_PROBE_SRC = (
+    "import jax, jax.numpy as jnp;"
+    "d = jax.devices();"
+    "y = jnp.ones((128,128)) @ jnp.ones((128,128));"
+    "print('PROBE_OK', d[0].platform, float(y[0,0]))"
+)
+
+
+def _run_child(argv, timeout_s):
+    """Run a child, SIGTERM at timeout (axon claim release), SIGKILL 10s
+    later. Returns (rc, stdout, stderr); rc None means timed out."""
+    proc = subprocess.Popen(
+        argv, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        start_new_session=True,
+    )
     try:
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--inner"],
-            capture_output=True,
-            text=True,
-            timeout=budget,
-        )
-        out = [l for l in proc.stdout.splitlines() if l.startswith("{")]
-        if proc.returncode == 0 and out:
-            print(out[-1])
-            return
-        sys.stderr.write(proc.stderr[-2000:])
-        reason = f"exit={proc.returncode}"
+        out, err = proc.communicate(timeout=timeout_s)
+        return proc.returncode, out, err
     except subprocess.TimeoutExpired:
-        reason = f"timeout after {budget}s (TPU tunnel hung?)"
-    sys.stderr.write(f"bench failed: {reason}\n")
+        try:
+            os.killpg(proc.pid, signal.SIGTERM)
+            out, err = proc.communicate(timeout=10)
+        except (subprocess.TimeoutExpired, ProcessLookupError):
+            try:
+                os.killpg(proc.pid, signal.SIGKILL)
+            except ProcessLookupError:
+                pass
+            out, err = proc.communicate()
+        return None, out, err
+
+
+def _probe(timeout_s):
+    rc, out, err = _run_child([sys.executable, "-c", _PROBE_SRC], timeout_s)
+    ok = rc == 0 and "PROBE_OK" in out
+    if not ok:
+        sys.stderr.write(
+            f"bench probe: rc={rc} out={out.strip()[-200:]} err={err.strip()[-300:]}\n"
+        )
+    return ok
+
+
+def _watchdog_main():
+    """Budgeted staged runner: probe -> measure, shrinking on retry."""
+    budget = int(os.environ.get("BENCH_TIMEOUT_S", "900"))
+    deadline = time.monotonic() + budget
+    me = os.path.abspath(__file__)
+
+    # (batch, steps, attempt_timeout): first full-size, then shrink so a
+    # slow/flaky tunnel still produces a real measurement. Explicit
+    # BENCH_BATCH/BENCH_STEPS pin every attempt to the requested size.
+    ladder = [(256, 20, 420), (256, 20, 420), (128, 10, 300), (64, 5, 240)]
+    if "BENCH_BATCH" in os.environ or "BENCH_STEPS" in os.environ:
+        b = int(os.environ.get("BENCH_BATCH", "256"))
+        s = int(os.environ.get("BENCH_STEPS", "20"))
+        ladder = [(b, s, t) for _, _, t in ladder]
+    probe_timeout = int(os.environ.get("BENCH_PROBE_TIMEOUT_S", "120"))
+    backoff = 20.0
+    attempt = 0
+    last_err = "no attempts made"
+    while time.monotonic() < deadline - 30:
+        remaining = deadline - time.monotonic()
+        if not _probe(min(probe_timeout, int(remaining))):
+            last_err = "device probe failed (TPU tunnel wedged?)"
+            sleep_s = min(backoff, max(0.0, deadline - time.monotonic() - probe_timeout))
+            if sleep_s <= 0:
+                break
+            time.sleep(sleep_s)
+            backoff = min(backoff * 2, 240)
+            continue
+        batch, steps, t = ladder[min(attempt, len(ladder) - 1)]
+        attempt += 1
+        t = min(t, int(deadline - time.monotonic()))
+        if t < 60:
+            last_err = "budget exhausted after probe"
+            break
+        env = dict(os.environ, BENCH_BATCH=str(batch), BENCH_STEPS=str(steps))
+        proc = subprocess.Popen(
+            [sys.executable, me, "--inner"],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=env, start_new_session=True,
+        )
+        try:
+            out, err = proc.communicate(timeout=t)
+            rc = proc.returncode
+        except subprocess.TimeoutExpired:
+            try:
+                os.killpg(proc.pid, signal.SIGTERM)
+                out, err = proc.communicate(timeout=10)
+            except (subprocess.TimeoutExpired, ProcessLookupError):
+                try:
+                    os.killpg(proc.pid, signal.SIGKILL)
+                except ProcessLookupError:
+                    pass
+                out, err = proc.communicate()
+            rc = None
+        lines = [l for l in (out or "").splitlines() if l.startswith("{")]
+        if rc == 0 and lines:
+            print(lines[-1])
+            return
+        last_err = f"attempt {attempt} (batch={batch}) rc={rc}: {(err or '')[-400:]}"
+        sys.stderr.write(f"bench: {last_err}\n")
+
+    sys.stderr.write(f"bench failed: {last_err}\n")
     print(
         json.dumps(
-            {
-                "metric": "alexnet_train_images_per_sec_per_chip",
-                "value": 0.0,
-                "unit": "images/sec",
-                "vs_baseline": 0.0,
-            }
+            {"metric": METRIC, "value": 0.0, "unit": "images/sec", "vs_baseline": 0.0}
         )
     )
 
 
 if __name__ == "__main__":
-    import sys
-
     if "--inner" in sys.argv:
         main()
     else:
