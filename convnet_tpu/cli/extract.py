@@ -54,7 +54,9 @@ def main(argv=None) -> int:
     graph = build_graph(model, data.input_image_sizes())
     for name in args.layers:
         graph.layer(name)  # raises KeyError for unknown layers
-    params, _, step = ckpt.load(args.checkpoint)
+    from convnet_tpu.model import param_shapes
+
+    params, _, step = ckpt.load(args.checkpoint, expected_shapes=param_shapes(graph))
     params = jax.tree.map(np.asarray, params)
     print(f"loaded {args.checkpoint} (step {step})")
 

@@ -64,6 +64,15 @@ def _bias_shape(graph: Graph, e: EdgeSpec) -> Tuple[int, ...]:
     return (dst_c,)
 
 
+def param_shapes(graph: Graph) -> Dict[str, Dict[str, Tuple[int, ...]]]:
+    """{edge: {"w": shape, "b": shape}} — feeds checkpoint.load's
+    layout auto-detection (transposed/flattened upstream variants)."""
+    return {
+        e.name: {"w": _weight_shape(graph, e), "b": _bias_shape(graph, e)}
+        for e in graph.weighted_edges
+    }
+
+
 def _fan_in(shape: Tuple[int, ...]) -> int:
     # all weight layouts here contract over every dim except the last
     return int(np.prod(shape[:-1]))
@@ -114,7 +123,11 @@ def init_params(graph: Graph, seed: Optional[int] = None) -> Params:
         for e in pretrained:
             if not e.pretrained_model:
                 raise ValueError(f"edge {e.name}: PRETRAINED init without pretrained_model")
-            loaded = ckpt.load_edge(e.pretrained_model, e.pretrained_edge_name or e.name)
+            loaded = ckpt.load_edge(
+                e.pretrained_model,
+                e.pretrained_edge_name or e.name,
+                expected_shape=_weight_shape(graph, e),
+            )
             params[e.name] = {k: jnp.asarray(v) for k, v in loaded.items()}
     return params
 

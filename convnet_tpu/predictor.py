@@ -53,7 +53,9 @@ class Predictor:
     def from_checkpoint(
         cls, graph: Graph, path: str, layers=None, batch_size: int = 128, jitter=None
     ) -> "Predictor":
-        params, _, _ = ckpt.load(path)
+        from convnet_tpu.model import param_shapes
+
+        params, _, _ = ckpt.load(path, expected_shapes=param_shapes(graph))
         return cls(graph, params, layers, batch_size, jitter)
 
     def _example_batch(self):

@@ -216,7 +216,11 @@ class Trainer:
     def _resume(self):
         path = ckpt.latest(self.checkpoint_dir, self.graph.name)
         if path:
-            params, moms, step = ckpt.load(path)
+            shapes = {
+                name: {"w": tuple(l["w"].shape), "b": tuple(l["b"].shape)}
+                for name, l in self.state["params"].items()
+            }
+            params, moms, step = ckpt.load(path, expected_shapes=shapes)
             expect = {e.name for e in self.graph.weighted_edges}
             if set(params) != expect:
                 raise ValueError(

@@ -46,7 +46,9 @@ def main(argv=None) -> int:
                 sizes[lp.name] = args.image_size
     graph = build_graph(model, sizes)
     if args.checkpoint:
-        params, _, _ = ckpt.load(args.checkpoint)
+        params, _, _ = ckpt.load(
+            args.checkpoint, expected_shapes=model_lib.param_shapes(graph)
+        )
         params = jax.tree.map(np.asarray, params)
     else:
         params = model_lib.init_params(graph, seed=args.seed)
