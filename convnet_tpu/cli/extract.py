@@ -30,8 +30,14 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("model", help="model .pbtxt")
     p.add_argument("data", help="DatasetConfig .pbtxt to extract over")
     p.add_argument("--checkpoint", required=True, help="HDF5 checkpoint")
-    p.add_argument("--output", required=True, help="output HDF5 file")
-    p.add_argument("--layers", nargs="+", required=True, help="layer names to dump")
+    p.add_argument(
+        "--config",
+        default=None,
+        help="FeatureExtractorConfig .pbtxt supplying output/layers/batch size "
+        "(reference: extract_representation's run config [U])",
+    )
+    p.add_argument("--output", default=None, help="output HDF5 file")
+    p.add_argument("--layers", nargs="+", default=None, help="layer names to dump")
     p.add_argument("--batch-size", type=int, default=None)
     return p
 
@@ -41,31 +47,42 @@ def main(argv=None) -> int:
     from convnet_tpu.trainer import enable_compilation_cache
 
     enable_compilation_cache()
+    if args.config:
+        fe = config.read_feature_extractor_config(args.config)
+        args.output = args.output or fe.output_file
+        args.layers = args.layers or list(fe.layer)
+        args.batch_size = args.batch_size or fe.batch_size
+    if not args.output or not args.layers:
+        raise SystemExit("--output and --layers are required (directly or via --config)")
     model = config.read_model(args.model)
     data_cfg = config.read_dataset_config(args.data)
-    # batch size priority: CLI flag > data config's own > model default
-    data = DataHandler(
-        data_cfg,
-        batch_size=args.batch_size
-        or (data_cfg.batch_size if data_cfg.HasField("batch_size") else 0)
-        or model.batch_size,
-        randomize=False,
-    )
-    graph = build_graph(model, data.input_image_sizes())
+    sizes = {c.layer_name: c.image_size for c in data_cfg.data_config if c.image_size}
+    graph = build_graph(model, sizes)
     for name in args.layers:
         graph.layer(name)  # raises KeyError for unknown layers
+
+    from convnet_tpu.parallel import mesh as mesh_lib
+
+    mesh = mesh_lib.mesh_for_graph(graph)
+    # batch size priority: CLI flag > data config's own > model default —
+    # padded up to a multiple of the mesh data axis (iter_epoch pads the
+    # final batch anyway, so every row is still extracted exactly once)
+    bs = (
+        args.batch_size
+        or (data_cfg.batch_size if data_cfg.HasField("batch_size") else 0)
+        or model.batch_size
+    )
+    if mesh is not None:
+        axis = mesh.shape.get("data", 1)
+        if bs % axis:
+            bs += axis - bs % axis
+            print(f"batch size rounded up to {bs} (multiple of mesh data axis {axis})")
+    data = DataHandler(data_cfg, batch_size=bs, randomize=False)
     from convnet_tpu.model import param_shapes
 
     params, _, step = ckpt.load(args.checkpoint, expected_shapes=param_shapes(graph))
     params = jax.tree.map(np.asarray, params)
     print(f"loaded {args.checkpoint} (step {step})")
-
-    from convnet_tpu.parallel import mesh as mesh_lib
-
-    mesh = mesh_lib.mesh_for_graph(graph)
-    if mesh is not None and data.batch_size % mesh.shape.get("data", 1):
-        print("batch size not divisible by mesh data axis; extracting single-device")
-        mesh = None
     fwd = make_forward(graph, args.layers, data.jitter_specs(), mesh=mesh)
     if mesh is not None:
         params = jax.device_put(params, mesh_lib.param_shardings(graph, mesh))

@@ -198,6 +198,21 @@ class DataHandler:
         self._chunk = max(1, cfg.random_access_chunk_size)
         self._order = self._make_order()
         self._pos = 0
+        # randomize_gpu: the reference shuffles within a staged device
+        # buffer of chunk_size rows (src/datahandler.cc [U]) so disk reads
+        # stay sequential while sample order is randomized. The rebuild
+        # stages on the host instead — TPU HBM is better spent on the model,
+        # and the jit'd step's prologue already overlaps host staging — but
+        # the semantics match: a window of `chunk_size` rows (auto: 4x
+        # batch) emits random picks, refilled in stream order.
+        self._window = 0
+        if cfg.randomize_gpu:
+            w = cfg.chunk_size if cfg.chunk_size > 0 else 4 * self.batch_size
+            # window must hold at least one batch and at most the dataset
+            self._window = int(
+                min(max(w, self.batch_size), max(self.batch_size, self.num_rows))
+            )
+        self._wbuf: Optional[Dict[str, np.ndarray]] = None
         self._queue: Optional[queue.Queue] = None
         self._thread: Optional[threading.Thread] = None
         self._stop = threading.Event()
@@ -235,9 +250,29 @@ class DataHandler:
         self._pos += self.batch_size
         return idx
 
-    def _produce(self) -> Dict[str, np.ndarray]:
-        idx = self._next_indices()
+    def _read(self, idx: np.ndarray) -> Dict[str, np.ndarray]:
         return {name: s.read_rows(idx) for name, s in self.streams.items()}
+
+    def _produce(self) -> Dict[str, np.ndarray]:
+        if self._window:
+            return self._produce_windowed()
+        return self._read(self._next_indices())
+
+    def _produce_windowed(self) -> Dict[str, np.ndarray]:
+        """Shuffle-window batch: emit batch_size random rows from the staged
+        window, refill the emitted slots with the next rows in stream order
+        (tf.data-style; O(batch) per batch)."""
+        bs = self.batch_size
+        if self._wbuf is None:
+            fills = [self._next_indices() for _ in range(-(-self._window // bs))]
+            self._wbuf = self._read(np.concatenate(fills))
+        n = next(iter(self._wbuf.values())).shape[0]
+        pos = self._rng.choice(n, bs, replace=False)
+        out = {k: v[pos].copy() for k, v in self._wbuf.items()}
+        refill = self._read(self._next_indices())
+        for k, v in self._wbuf.items():
+            v[pos] = refill[k]
+        return out
 
     def _start_prefetch(self, depth: int):
         self._queue = queue.Queue(maxsize=depth)
@@ -298,6 +333,7 @@ class DataHandler:
         self._stop_prefetch()
         self._error = None
         self._pos = 0
+        self._wbuf = None
         self._order = self._make_order()
         self._stop = threading.Event()
         if self.cfg.pipeline_loads:

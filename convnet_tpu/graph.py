@@ -386,6 +386,20 @@ def build_graph(
         raise ValueError("model has no output layer")
 
     par = model.parallel
+    # Reference pbtxts encode a model split via per-layer/edge gpu_id pins
+    # (src/multigpu_convnet.cc [U]). The rebuild's native form is the mesh
+    # `parallel {}` block; when gpu_ids are present without one, derive
+    # parallel.model from the number of distinct devices so those configs
+    # don't silently run single-device.
+    gpu_ids = {l.gpu_id for l in layers} | {e.gpu_id for e in raw_edges}
+    if len(gpu_ids) > 1 and not model.HasField("parallel"):
+        derived = len(gpu_ids)
+        print(
+            f"build_graph: model pins layers to {derived} distinct gpu_ids but "
+            f"has no parallel {{}} block; deriving parallel.model = {derived} "
+            f"(set parallel {{ model: 1 }} explicitly to force single-device)"
+        )
+        par.model = derived
     return Graph(
         name=model.name,
         layers=layers,

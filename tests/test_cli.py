@@ -153,3 +153,41 @@ def test_train_cli_data_parallel_mesh(tmp_path):
     assert ckpts, "no checkpoint written by DP training"
     with h5py.File(ckpts[0]) as f:
         assert f.attrs["step"] == 4
+
+
+def test_extract_with_feature_extractor_config(tmp_path):
+    """--config FeatureExtractorConfig.pbtxt supplies output/layers/batch
+    (reference: extract_representation run config [U])."""
+    out = str(tmp_path / "run")
+    train.main([MNIST, DTRAIN, "--output-dir", out, "--max-iter", "2",
+                "--batch-size", "16"])
+    ckpt = glob.glob(os.path.join(out, "*.h5"))[0]
+    feats = str(tmp_path / "fe.h5")
+    fecfg = tmp_path / "fe.pbtxt"
+    fecfg.write_text(
+        f'output_file: "{feats}"\nlayer: "fc1"\nbatch_size: 64\n'
+    )
+    rc = extract.main([MNIST, DVAL, "--checkpoint", ckpt, "--config", str(fecfg)])
+    assert rc == 0
+    with h5py.File(feats) as f:
+        assert f["fc1"].shape == (1024, 128)
+
+
+def test_extract_pads_batch_to_mesh_divisible(tmp_path):
+    """An indivisible batch size on a meshed model is rounded UP (every row
+    still extracted once), never silently degraded to single-device."""
+    model = tmp_path / "m.pbtxt"
+    with open(MNIST) as f:
+        text = f.read()
+    model.write_text(text + "\nparallel { data: 4 }")
+    out = str(tmp_path / "run")
+    train.main([str(model), DTRAIN, "--output-dir", out, "--max-iter", "2",
+                "--batch-size", "16"])
+    ckpt = glob.glob(os.path.join(out, "*.h5"))[0]
+    feats = str(tmp_path / "feats.h5")
+    rc = extract.main([str(model), DVAL, "--checkpoint", ckpt, "--output", feats,
+                       "--layers", "fc1", "--batch-size", "30"])  # 30 % 4 != 0
+    assert rc == 0
+    with h5py.File(feats) as f:
+        assert f["fc1"].shape == (1024, 128)
+        assert np.isfinite(f["fc1"][...]).all()

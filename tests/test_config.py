@@ -151,3 +151,28 @@ def test_graph_is_hashable():
     g = build_graph(config.read_model(os.path.join(REPO, "examples/mnist/mnist_lenet.pbtxt")))
     hash(g)  # must be usable as a jit static arg
     assert g == build_graph(config.read_model(os.path.join(REPO, "examples/mnist/mnist_lenet.pbtxt")))
+
+
+def test_gpu_ids_derive_parallel_model(capsys):
+    """A reference-style pbtxt that splits the model via gpu_id pins must
+    not silently run single-device: parallel.model derives from the number
+    of distinct gpu_ids when no parallel{} block is given."""
+    from convnet_tpu.graph import build_graph
+
+    text = """
+        name: "split"
+        layer { name: "input" is_input: true num_channels: 1 gpu_id: 0 }
+        layer { name: "h" num_channels: 8 activation: RECTIFIED_LINEAR gpu_id: 0 }
+        layer { name: "out" is_output: true num_channels: 4 activation: SOFTMAX
+                data_field: "labels" gpu_id: 1 }
+        edge { source: "input" dest: "h" edge_type: FC gpu_id: 0 }
+        edge { source: "h" dest: "out" edge_type: FC gpu_id: 1 }
+    """
+    g = build_graph(config.parse_model(text), {"input": 4})
+    assert g.parallel_model == 2
+    assert "deriving parallel.model = 2" in capsys.readouterr().out
+    # explicit parallel{} wins
+    g2 = build_graph(
+        config.parse_model(text + "\nparallel { model: 1 }"), {"input": 4}
+    )
+    assert g2.parallel_model == 1

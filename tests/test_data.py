@@ -510,3 +510,56 @@ def test_jpeg_magic_sniff_without_extension(tmp_path, jpeg_dir):
     with open(fake, "wb") as f:
         f.write(b"\x89PNG\r\n")
     assert not RawImageStream._all_jpeg([fake])
+
+
+def test_randomize_gpu_shuffle_window(tmp_path):
+    """randomize_gpu stages a chunk_size window and emits random picks;
+    every row still appears, labels stay aligned, order differs from
+    sequential."""
+    arr = np.arange(64, dtype=np.int32)
+    imgs = np.repeat(arr[:, None], 4, axis=1).astype(np.float32)
+    p = str(tmp_path / "w.h5")
+    with h5py.File(p, "w") as f:
+        f.create_dataset("input", data=imgs)
+        f.create_dataset("labels", data=arr)
+    cfg = config.parse_dataset_config(
+        f"""
+        name: "win"
+        batch_size: 8
+        randomize_gpu: true
+        chunk_size: 16
+        pipeline_loads: false
+        data_config {{ layer_name: "input" data_type: HDF5 file_pattern: "{p}" }}
+        data_config {{ layer_name: "labels" data_type: HDF5 file_pattern: "{p}" dataset_name: "labels" }}
+        """
+    )
+    dh = DataHandler(cfg, randomize=False, seed=1)
+    assert dh._window == 16
+    seen = []
+    aligned = True
+    for _ in range(8):  # one epoch's worth of batches
+        b = dh.get_batch()
+        aligned &= bool((b["input"][:, 0].astype(np.int32) == b["labels"]).all())
+        seen.extend(b["labels"].tolist())
+    assert aligned
+    assert seen != sorted(seen)  # order is actually shuffled
+    # window sampling is without replacement per batch
+    assert all(len(set(seen[i : i + 8])) == 8 for i in range(0, 64, 8))
+    dh.close()
+
+
+def test_randomize_gpu_auto_window():
+    cfg = config.parse_dataset_config(
+        """
+        name: "aw"
+        batch_size: 4
+        randomize_gpu: true
+        pipeline_loads: false
+        data_config { layer_name: "input" data_type: DUMMY image_size: 2 num_colors: 1 dummy_size: 100 }
+        """
+    )
+    dh = DataHandler(cfg, seed=0)
+    assert dh._window == 16  # 4x batch
+    b = dh.get_batch()
+    assert b["input"].shape == (4, 2, 2, 1)
+    dh.close()
