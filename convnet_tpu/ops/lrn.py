@@ -14,21 +14,33 @@ Semantics (documented in proto/convnet_config.proto):
     d_i      = 1 + (add_scale / n) * s_i
     y_i      = x_i * d_i^(-pow_scale)
 
-TPU-first design notes:
-- The channel-window sum is n static lane-shifted adds over a
-  zero-padded tile (pure VPU work, O(n) per element) — not a sliding
-  scalar loop, and not the O(C) banded matmul (that form is kept only
-  as the numerics oracle in `response_norm_reference`).
-- The Pallas kernel fuses square -> window-sum -> pow -> scale into one
-  pass over VMEM, emitting both y and the denominator d (the residual
-  the backward pass reuses, exactly like the reference's Undo kernel
-  consumed the saved denoms [U]).
+TPU-first design notes (tuned on a real v5e chip, round 2):
+- The op is pure HBM-bandwidth: ~0 MXU FLOPs, a handful of VPU ops per
+  element. Everything therefore centers on minimizing HBM passes:
+  * I/O stays in the caller's dtype (bf16 activations halve traffic);
+    math runs in f32 inside VMEM.
+  * No denominator residual: the backward recomputes d from x with a
+    few extra VPU ops instead of a full-size HBM write + read. Residual
+    = x only (already live as the producing layer's activation).
+  * No HBM pad/slice copies: the kernel grid tiles the row axis with a
+    tile that divides M exactly (M = B*H*W always has small factors);
+    lane-misaligned channel counts are fixed by *folding* rows
+    (see _fold_factor), never by padding HBM.
+- In-kernel, the channel-window sum is a banded matmul against a small
+  constant 0/1 matrix resident in VMEM: it moves the O(n)-per-element
+  work from the (saturated) VPU onto the (idle) MXU — measured 2-3x
+  whole-kernel win over lane-shifted adds on v5e. The XLA fallback path
+  keeps the shifted-add form (`_window_sum`), which fuses well there.
 - The custom VJP closed form
 
       dx = g * d^(-p) - 2*(a/n)*p * x * T(g * x * d^(-p-1))
 
   needs the *transposed* window sum T (j contributes to i iff i is in
   window(j)); same shifted adds with negated offsets.
+
+Measured (v5e-1, batch 256, AlexNet rnorm1 = (256,54,54,96) bf16,
+standalone dispatch incl. ~1.5 ms tunnel floor): round-1 kernel fwd+bwd
+14.1 ms; this kernel 3.4 ms (see BASELINE.md).
 """
 
 from __future__ import annotations
@@ -84,127 +96,227 @@ def _window_sum(v, n: int, blocked: bool, c: int, transpose: bool = False):
     return s
 
 
+def _neg_pow(d, p: float):
+    """d ** (-p) for d > 0. Quarter-integer exponents (beta = 0.75 is the
+    cuda-convnet default) compose from rsqrt/sqrt/reciprocal — each a fast
+    VPU primitive — instead of the ~10x-slower exp/log pair, which is what
+    made the round-1 kernel transcendental-bound."""
+    q = round(4 * p)
+    if abs(4 * p - q) > 1e-9 or not (0 < q <= 16):
+        return jnp.exp(-p * jnp.log(d))
+    out = None
+    k, rem = divmod(q, 4)
+    if k:
+        inv = 1.0 / d
+        out = inv
+        for _ in range(k - 1):
+            out = out * inv
+    if rem >= 2:
+        r = jax.lax.rsqrt(d)
+        out = r if out is None else out * r
+        rem -= 2
+    if rem:
+        qr = jnp.sqrt(jax.lax.rsqrt(d))
+        out = qr if out is None else out * qr
+    return out
+
+
 def _fwd_math(x, n, blocked, c, alpha, beta):
-    """Forward on an (M, C) f32 tile; returns (y, d)."""
+    """Forward on an (M, C) f32 tile; returns y."""
     s = _window_sum(x * x, n, blocked, c)
     d = 1.0 + alpha * s
-    y = x * jnp.exp(-beta * jnp.log(d))
-    return y, d
+    return x * _neg_pow(d, beta)
 
 
-def _bwd_math(g, x, d, n, blocked, c, alpha, beta):
-    """Backward on (M, C) f32 tiles; returns dx."""
-    dpow = jnp.exp(-(beta + 1.0) * jnp.log(d))
+def _bwd_math(g, x, n, blocked, c, alpha, beta):
+    """Backward on (M, C) f32 tiles; recomputes d from x, returns dx."""
+    s = _window_sum(x * x, n, blocked, c)
+    d = 1.0 + alpha * s
+    pb = _neg_pow(d, beta)          # d^-beta
+    dpow = pb / d                   # d^-(beta+1)
     inner = _window_sum(g * x * dpow, n, blocked, c, transpose=True)
-    return g * dpow * d - 2.0 * alpha * beta * x * inner
+    return g * pb - 2.0 * alpha * beta * x * inner
 
 
 # ---------------------------------------------------------------------------
-# Pallas kernels (TPU): fused single pass over HBM; VPU shift-adds.
+# Pallas kernels (TPU): fused single pass over HBM; VPU shift-adds;
+# native-dtype I/O, f32 math in VMEM.
 # ---------------------------------------------------------------------------
 
-_TILE_M = 1024
+# Per-tile f32 working-set budget: the kernel holds the tile plus a
+# handful of same-size VPU temporaries on the Mosaic stack, and the grid
+# pipeline double-buffers in/out — ~1 MB tiles keep the total comfortably
+# under the 16 MB VMEM scoped limit at any channel width.
+_TILE_BYTES = 1 << 20
 
 
-def _lrn_fwd_kernel(x_ref, y_ref, d_ref, *, n, blocked, c, alpha, beta):
-    y, d = _fwd_math(x_ref[:], n, blocked, c, alpha, beta)
-    y_ref[:] = y
-    d_ref[:] = d
-
-
-def _lrn_bwd_kernel(g_ref, x_ref, d_ref, dx_ref, *, n, blocked, c, alpha, beta):
-    dx_ref[:] = _bwd_math(
-        g_ref[:], x_ref[:], d_ref[:], n, blocked, c, alpha, beta
+def _mm_window(v, bmat_ref, transpose: bool, f32_exact: bool):
+    """Window sum as an (M,C)x(C,C) banded matmul — MXU work is ~free at
+    these sizes, vs ~2n lane-rotate+add VPU ops for the shifted-add form
+    (measured 2-3x whole-kernel win on v5e). bmat[i, j] = 1 iff j is in
+    window(i); the transposed sum contracts the other bmat axis."""
+    dims = (((1,), (0 if transpose else 1,)), ((), ()))
+    return jax.lax.dot_general(
+        v,
+        bmat_ref[:],
+        dims,
+        preferred_element_type=jnp.float32,
+        # f32 inputs need exact window sums for the 1e-5 parity bar;
+        # bf16 inputs are already quantized, the fast MXU path is exact
+        # enough (products of bf16 fit f32; the band weights are 0/1).
+        precision=jax.lax.Precision.HIGHEST if f32_exact else None,
     )
 
 
-def _tiles(m: int, c: int):
-    cp = max(128, ((c + 127) // 128) * 128)
-    tile_m = min(_TILE_M, max(8, ((m + 7) // 8) * 8))
-    mp = ((m + tile_m - 1) // tile_m) * tile_m
-    return cp, tile_m, mp
+def _lrn_fwd_kernel(x_ref, bmat_ref, y_ref, *, alpha, beta, f32_exact):
+    x = x_ref[:].astype(jnp.float32)
+    s = _mm_window(x * x, bmat_ref, False, f32_exact)
+    d = 1.0 + alpha * s
+    y_ref[:] = (x * _neg_pow(d, beta)).astype(y_ref.dtype)
 
 
-def _pad_to(a, rows, cols, value=0.0):
-    return jnp.pad(
-        a,
-        ((0, rows - a.shape[0]), (0, cols - a.shape[1])),
-        constant_values=value,
-    )
+def _lrn_bwd_kernel(g_ref, x_ref, bmat_ref, dx_ref, *, alpha, beta, f32_exact):
+    g = g_ref[:].astype(jnp.float32)
+    x = x_ref[:].astype(jnp.float32)
+    s = _mm_window(x * x, bmat_ref, False, f32_exact)
+    d = 1.0 + alpha * s
+    pb = _neg_pow(d, beta)  # d^-beta
+    inner = _mm_window(g * x * (pb / d), bmat_ref, True, f32_exact)
+    dx_ref[:] = (g * pb - 2.0 * alpha * beta * x * inner).astype(dx_ref.dtype)
+
+
+def _fold_factor(m: int, c: int, dtype) -> int:
+    """Rows folded per VMEM row so the lane axis is a multiple of 128.
+
+    C=96 leaves a quarter of every 128-wide vector register dead (measured
+    ~8x slowdown vs a lane-aligned C on v5e). Viewing the (M, C) problem as
+    (M/k, k*C) with k = 128/gcd(C, 128) fills the lanes completely; the
+    window sums stay exact because the band matrix becomes block-diagonal
+    (kron(I_k, band)), so windows never cross fold boundaries."""
+    import math as _math
+
+    if dtype == jnp.float32:
+        # the f32-exact path runs its window matmul at HIGHEST precision,
+        # whose cost grows with the folded width — folding loses there
+        return 1
+    k = 128 // _math.gcd(c, 128)
+    if k == 1 or m % k:
+        return 1
+    if (k * c) * (k * c) * 4 > 4 << 20:  # keep the folded bmat under 4 MB
+        return 1
+    return k
+
+
+@functools.lru_cache(maxsize=64)
+def _folded_band(c: int, n: int, blocked: bool, fold: int) -> np.ndarray:
+    band = _band_matrix(c, n, blocked)
+    if fold == 1:
+        return band
+    return np.kron(np.eye(fold, dtype=np.float32), band)
+
+
+def _pick_tile(m: int, c: int) -> int:
+    """Rows per grid step. Prefer the largest divisor of m within the
+    VMEM budget that is a multiple of 8 (f32 sublane) so the grid covers
+    m exactly; otherwise fall back to a ragged last block (Pallas masks
+    out-of-range writes, and LRN rows are independent, so the padding
+    rows' garbage never escapes)."""
+    cap = max(8, _TILE_BYTES // (4 * c) // 8 * 8)
+    best = 0
+    t = 8
+    while t <= min(cap, m):
+        if m % t == 0:
+            best = t
+        t += 8
+    return best or min(cap, ((m + 7) // 8) * 8)
+
+
+def _bytes(a):
+    return a.size * a.dtype.itemsize
+
+
+def _bmat_spec(c):
+    # the full band matrix rides along in VMEM, same block every grid step
+    return pl.BlockSpec((c, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
 
 
 def _pallas_fwd(x2d, n, blocked, alpha, beta, interpret):
-    m, c = x2d.shape
-    cp, tile_m, mp = _tiles(m, c)
-    # window sums run over the padded lane width; padded channels are zero
-    # so real-channel sums are unaffected (windows clip identically).
+    m0, c0 = x2d.shape
+    fold = _fold_factor(m0, c0, x2d.dtype)
+    m, c = m0 // fold, c0 * fold
+    x2d = x2d.reshape(m, c)
+    tile_m = _pick_tile(m, c)
+    f32_exact = x2d.dtype == jnp.float32
     kernel = functools.partial(
-        _lrn_fwd_kernel, n=n, blocked=blocked, c=cp, alpha=alpha, beta=beta
+        _lrn_fwd_kernel, alpha=alpha, beta=beta, f32_exact=f32_exact
     )
-    y, d = pl.pallas_call(
+    y = pl.pallas_call(
         kernel,
-        grid=(mp // tile_m,),
+        grid=(pl.cdiv(m, tile_m),),
         in_specs=[
-            pl.BlockSpec((tile_m, cp), lambda i: (i, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((tile_m, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            _bmat_spec(c),
         ],
-        out_specs=[
-            pl.BlockSpec((tile_m, cp), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_m, cp), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((mp, cp), jnp.float32),
-            jax.ShapeDtypeStruct((mp, cp), jnp.float32),
-        ],
+        out_specs=pl.BlockSpec(
+            (tile_m, c), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((m, c), x2d.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=(n + 6) * mp * cp,
-            bytes_accessed=4 * 3 * mp * cp,
-            transcendentals=2 * mp * cp,
+            flops=2 * m * c * c + 8 * m * c,
+            bytes_accessed=2 * _bytes(x2d),
+            transcendentals=0,
         ),
         interpret=interpret,
-    )(_pad_to(x2d, mp, cp))
-    return y[:m, :c], d[:m, :c]
+    )(x2d, jnp.asarray(_folded_band(c0, n, blocked, fold)))
+    return y.reshape(m0, c0)
 
 
-def _pallas_bwd(g2d, x2d, d2d, n, blocked, alpha, beta, interpret):
-    m, c = x2d.shape
-    cp, tile_m, mp = _tiles(m, c)
+def _pallas_bwd(g2d, x2d, n, blocked, alpha, beta, interpret):
+    m0, c0 = x2d.shape
+    fold = _fold_factor(m0, c0, x2d.dtype)
+    m, c = m0 // fold, c0 * fold
+    x2d = x2d.reshape(m, c)
+    g2d = g2d.reshape(m, c)
+    tile_m = _pick_tile(m, c)
+    f32_exact = x2d.dtype == jnp.float32
     kernel = functools.partial(
-        _lrn_bwd_kernel, n=n, blocked=blocked, c=cp, alpha=alpha, beta=beta
+        _lrn_bwd_kernel, alpha=alpha, beta=beta, f32_exact=f32_exact
     )
     dx = pl.pallas_call(
         kernel,
-        grid=(mp // tile_m,),
+        grid=(pl.cdiv(m, tile_m),),
         in_specs=[
-            pl.BlockSpec((tile_m, cp), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_m, cp), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_m, cp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_m, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_m, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            _bmat_spec(c),
         ],
         out_specs=pl.BlockSpec(
-            (tile_m, cp), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (tile_m, c), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((mp, cp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((m, c), g2d.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=(n + 10) * mp * cp,
-            bytes_accessed=4 * 4 * mp * cp,
-            transcendentals=2 * mp * cp,
+            flops=4 * m * c * c + 14 * m * c,
+            bytes_accessed=3 * _bytes(x2d),
+            transcendentals=0,
         ),
         interpret=interpret,
-    )(
-        _pad_to(g2d, mp, cp),
-        _pad_to(x2d, mp, cp),
-        # d pads with 1.0 so log(d) stays finite in dead lanes
-        _pad_to(d2d, mp, cp, value=1.0),
-    )
-    return dx[:m, :c]
+    )(g2d, x2d, jnp.asarray(_folded_band(c0, n, blocked, fold)))
+    return dx.reshape(m0, c0)
 
 
-def _use_pallas(backend: str) -> bool:
+# Above this channel count the C x C band matrix stops being "small" VMEM
+# freight (and the O(C) matmul stops beating the O(n) shifted adds) —
+# auto mode falls back to XLA. Real LRN nets use C <= 512.
+_PALLAS_MAX_C = 1024
+
+
+def _use_pallas(backend: str, c: int) -> bool:
     if backend == "pallas":
         return True
     if backend == "xla":
         return False
     # auto: fused Pallas on real TPU, plain XLA elsewhere
-    return jax.default_backend() not in ("cpu", "gpu")
+    return c <= _PALLAS_MAX_C and jax.default_backend() not in ("cpu", "gpu")
 
 
 # ---------------------------------------------------------------------------
@@ -222,9 +334,11 @@ def response_norm_cross_map(
     backend: str = "auto",
 ) -> jax.Array:
     """y = x * (1 + (add_scale/n) * window_sum(x^2))^(-pow_scale) over the
-    channel (last) axis. x: (..., C). backend: "auto" | "pallas" | "xla"."""
-    y, _ = _lrn_fwd(x, add_scale, pow_scale, frac_of_filters, blocked, backend)
-    return y
+    channel (last) axis. x: (..., C). backend: "auto" | "pallas" | "xla".
+
+    I/O keeps x's dtype (bf16 activations stream at half the HBM cost);
+    internal math is always f32."""
+    return _lrn_fwd(x, add_scale, pow_scale, frac_of_filters, blocked, backend)
 
 
 def _lrn_fwd(x, add_scale, pow_scale, frac, blocked, backend):
@@ -232,33 +346,35 @@ def _lrn_fwd(x, add_scale, pow_scale, frac, blocked, backend):
     n = norm_window_size(c, frac)
     alpha = add_scale / n
     beta = float(pow_scale)
-    x2d = x.reshape(-1, c).astype(jnp.float32)
-    if _use_pallas(backend):
+    x2d = x.reshape(-1, c)
+    if _use_pallas(backend, c):
         interp = jax.default_backend() == "cpu"  # tests force backend="pallas"
-        y2d, d2d = _pallas_fwd(x2d, n, blocked, alpha, beta, interpret=interp)
+        y2d = _pallas_fwd(x2d, n, blocked, alpha, beta, interpret=interp)
     else:
-        y2d, d2d = _fwd_math(x2d, n, blocked, c, alpha, beta)
-    return y2d.reshape(x.shape).astype(x.dtype), d2d
+        y2d = _fwd_math(x2d.astype(jnp.float32), n, blocked, c, alpha, beta)
+    return y2d.reshape(x.shape).astype(x.dtype)
 
 
 def _lrn_fwd_vjp(x, add_scale, pow_scale, frac, blocked, backend):
-    y, d2d = _lrn_fwd(x, add_scale, pow_scale, frac, blocked, backend)
-    return y, (x, d2d)
+    y = _lrn_fwd(x, add_scale, pow_scale, frac, blocked, backend)
+    return y, x  # d is recomputed in the bwd kernel — no HBM residual
 
 
-def _lrn_bwd_vjp(add_scale, pow_scale, frac, blocked, backend, residuals, g):
-    x, d2d = residuals
+def _lrn_bwd_vjp(add_scale, pow_scale, frac, blocked, backend, x, g):
     c = x.shape[-1]
     n = norm_window_size(c, frac)
     alpha = add_scale / n
     beta = float(pow_scale)
-    x2d = x.reshape(-1, c).astype(jnp.float32)
-    g2d = g.reshape(-1, c).astype(jnp.float32)
-    if _use_pallas(backend):
+    x2d = x.reshape(-1, c)
+    g2d = g.reshape(-1, c).astype(x2d.dtype)
+    if _use_pallas(backend, c):
         interp = jax.default_backend() == "cpu"
-        dx2d = _pallas_bwd(g2d, x2d, d2d, n, blocked, alpha, beta, interpret=interp)
+        dx2d = _pallas_bwd(g2d, x2d, n, blocked, alpha, beta, interpret=interp)
     else:
-        dx2d = _bwd_math(g2d, x2d, d2d, n, blocked, c, alpha, beta)
+        dx2d = _bwd_math(
+            g2d.astype(jnp.float32), x2d.astype(jnp.float32), n, blocked, c,
+            alpha, beta,
+        )
     return (dx2d.reshape(x.shape).astype(x.dtype),)
 
 
