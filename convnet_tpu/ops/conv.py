@@ -39,6 +39,68 @@ def ceil_mode_padding(
     return (padding, max(hi, 0))
 
 
+# Use space-to-depth for strided convs whose folded input-channel count
+# still fits one MXU contraction tile: Cin=3 stride=4 (AlexNet conv1)
+# folds to 48. Above 128 the fold stops paying for its transpose.
+_S2D_MAX_FOLDED_CIN = 128
+
+
+def _space_to_depth_conv(x, w, stride, out_h, out_w, pad_h, pad_w, pref, prec):
+    """Strided conv as a stride-1 conv over a space-to-depth view.
+
+    A tiny Cin (3 for RGB input) uses 3/128 of the MXU's contraction
+    lanes — worst in the weight-grad pass, whose contraction runs over
+    the input channels. Folding the stride into channels,
+
+        y = conv_s(x, w)  ==  conv_1(S2D_s(x'), w')
+
+    with x' padded so each kernel tap lands in a distinct (row%s, col%s)
+    phase, W' the matching regrouped kernel, lifts Cin to s*s*Cin. The
+    identity: index kernel rows i = s*a + r; then x[s*p+i] = X[p+a] at
+    phase r, where X = S2D(x). FLOPs grow by ceil(k/s)^2*s^2/k^2 (~19%
+    for 11x11 s4) but MXU utilization grows ~s*s-fold.
+    """
+    s = stride
+    kh, kw, cin, cout = w.shape
+    khp, kwp = -(-kh // s) * s, -(-kw // s) * s
+    # pad/crop each spatial dim to exactly (out-1)*s + k' (multiple of s)
+    tgt_h = (out_h - 1) * s + khp
+    tgt_w = (out_w - 1) * s + kwp
+    hi_h = tgt_h - x.shape[1] - pad_h[0]
+    hi_w = tgt_w - x.shape[2] - pad_w[0]
+    x = jnp.pad(
+        x,
+        (
+            (0, 0),
+            (pad_h[0], max(hi_h, 0)),
+            (pad_w[0], max(hi_w, 0)),
+            (0, 0),
+        ),
+    )
+    x = x[:, :tgt_h, :tgt_w, :]
+    b = x.shape[0]
+    x = (
+        x.reshape(b, tgt_h // s, s, tgt_w // s, s, cin)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(b, tgt_h // s, tgt_w // s, s * s * cin)
+    )
+    w = jnp.pad(w, ((0, khp - kh), (0, kwp - kw), (0, 0), (0, 0)))
+    w = (
+        w.reshape(khp // s, s, kwp // s, s, cin, cout)
+        .transpose(0, 2, 1, 3, 4, 5)
+        .reshape(khp // s, kwp // s, s * s * cin, cout)
+    )
+    return lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(1, 1),
+        padding=((0, 0), (0, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=pref,
+        precision=prec,
+    )
+
+
 def conv2d(
     x: jax.Array,
     w: jax.Array,
@@ -52,6 +114,7 @@ def conv2d(
     Output spatial size follows `conv_out_size` (ceil mode).
     """
     kh, kw = w.shape[0], w.shape[1]
+    cin = w.shape[2]
     pad_h = ceil_mode_padding(x.shape[1], kh, stride, padding)
     pad_w = ceil_mode_padding(x.shape[2], kw, stride, padding)
     if compute_dtype is not None:
@@ -62,18 +125,25 @@ def conv2d(
         # transpose rule's dtype agreement).
         x = x.astype(compute_dtype)
         w = w.astype(compute_dtype)
-    out = lax.conv_general_dilated(
-        x,
-        w,
-        window_strides=(stride, stride),
-        padding=(pad_h, pad_w),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        # f32-or-wider accumulate; None in compute_dtype mode (see above)
-        preferred_element_type=None
-        if compute_dtype is not None
-        else jnp.promote_types(x.dtype, jnp.float32),
-        precision=matmul_precision(compute_dtype),
+    # f32-or-wider accumulate; None in compute_dtype mode (see above)
+    pref = (
+        None if compute_dtype is not None else jnp.promote_types(x.dtype, jnp.float32)
     )
+    prec = matmul_precision(compute_dtype)
+    if stride > 1 and cin * stride * stride <= _S2D_MAX_FOLDED_CIN:
+        out_h = conv_out_size(x.shape[1], kh, stride, padding)
+        out_w = conv_out_size(x.shape[2], kw, stride, padding)
+        out = _space_to_depth_conv(x, w, stride, out_h, out_w, pad_h, pad_w, pref, prec)
+    else:
+        out = lax.conv_general_dilated(
+            x,
+            w,
+            window_strides=(stride, stride),
+            padding=(pad_h, pad_w),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=pref,
+            precision=prec,
+        )
     return out.astype(jnp.float32) if compute_dtype is not None else out
 
 

@@ -77,6 +77,48 @@ def test_conv2d_matches_numpy(h, k, s, p):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize(
+    "h,k,s,p,cin",
+    [
+        (224, 11, 4, 0, 3),  # AlexNet conv1: the shape the fold exists for
+        (17, 5, 2, 1, 3),    # odd size, pad, ceil-mode overhang
+        (12, 2, 2, 0, 8),    # kernel == stride
+        (16, 3, 2, 2, 16),   # folded cin 64
+    ],
+)
+def test_conv2d_space_to_depth_equals_dense(h, k, s, p, cin):
+    """The strided->s2d rewrite (conv.py:_space_to_depth_conv) must be a
+    pure layout change: same outputs and same gradients as the dense
+    strided conv it replaces."""
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(2, h, h, cin).astype(np.float32))
+    w = jnp.asarray(0.1 * rng.randn(k, k, cin, 4).astype(np.float32))
+    assert cin * s * s <= conv_ops._S2D_MAX_FOLDED_CIN  # takes the s2d path
+
+    pad_h = ceil_mode_padding(h, k, s, p)
+    from convnet_tpu.graph import conv_out_size
+
+    out = conv_out_size(h, k, s, p)
+
+    def dense(x, w):
+        return jax.lax.conv_general_dilated(
+            x, w, (s, s), (pad_h, pad_h),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    got = conv_ops.conv2d(x, w, s, p)
+    want = dense(x, w)
+    assert got.shape == (2, out, out, 4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+    gx1, gw1 = jax.grad(lambda a, b: jnp.sum(jnp.sin(conv_ops.conv2d(a, b, s, p))), (0, 1))(x, w)
+    gx2, gw2 = jax.grad(lambda a, b: jnp.sum(jnp.sin(dense(a, b))), (0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw1), np.asarray(gw2), rtol=1e-4, atol=1e-4)
+
+
 @pytest.mark.parametrize("h,k,s", [(8, 2, 2), (32, 3, 2), (7, 3, 3)])
 def test_maxpool_matches_numpy(h, k, s):
     rng = np.random.RandomState(1)
