@@ -55,17 +55,25 @@ def jitter_batch(
     if h < s or w < s:
         raise ValueError(f"raw image {h}x{w} smaller than crop {s}")
 
-    x = x.astype(jnp.float32)
-    if spec.scale != 1.0:
-        x = x * spec.scale
-    if mean is not None:
-        m = jnp.asarray(mean, jnp.float32)
-        if m.ndim >= 2 and m.shape[-3] == h:  # raw-size mean: subtract pre-crop
-            x = x - m
+    # Raw-size mean/std force float math before the crop; otherwise the
+    # crop and flip run on the raw dtype — for uint8 batches that's 4x
+    # less data movement than the f32 form (the crop's per-sample
+    # dynamic-slice loop and the flip's reverse+select both materialize
+    # the tensor; measured ~2.5 ms/step at AlexNet batch 256 in f32).
+    raw_mean = (
+        mean is not None and np.ndim(mean) >= 2 and np.shape(mean)[-3] == h
+    )
+    raw_std = std is not None and np.ndim(std) >= 2 and np.shape(std)[-3] == h
+    if raw_mean or raw_std:
+        x = x.astype(jnp.float32)
+        if spec.scale != 1.0:
+            x = x * spec.scale
+        if raw_mean:
+            x = x - jnp.asarray(mean, jnp.float32)
             mean = None
-    if mean is None and std is not None and std.ndim >= 2 and std.shape[-3] == h:
-        x = x / jnp.asarray(std, jnp.float32)
-        std = None
+        if mean is None and raw_std:
+            x = x / jnp.asarray(std, jnp.float32)
+            std = None
 
     if h > s or w > s:
         if train and spec.can_translate:
@@ -87,6 +95,9 @@ def jitter_batch(
         flips = jax.random.bernoulli(jax.random.fold_in(rng, 1), 0.5, (b,))
         x = jnp.where(flips[:, None, None, None], x[:, :, ::-1, :], x)
 
+    x = x.astype(jnp.float32)
+    if spec.scale != 1.0 and not (raw_mean or raw_std):
+        x = x * spec.scale
     if mean is not None:  # crop-size or per-channel mean
         x = x - jnp.asarray(mean, jnp.float32)
     if std is not None:

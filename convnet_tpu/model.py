@@ -139,18 +139,22 @@ def init_params(graph: Graph, seed: Optional[int] = None) -> Params:
 
 def _edge_fprop(graph: Graph, e: EdgeSpec, p: Optional[Dict], x: jax.Array, cdt):
     t = e.edge_type
+    # weighted edges return compute_dtype when set (pure-bf16 chain: the
+    # epilogue and next edge consume it, cotangents stay bf16 too); the
+    # bias is cast to match so the add never silently upcasts the tensor
     if t == ET.FC:
         z = fc(x, p["w"], compute_dtype=cdt)
-        z = z + p["b"]
+        z = z + p["b"].astype(z.dtype)
         return z[:, None, None, :]
     if t == ET.CONV:
         z = conv2d(x, p["w"], e.stride, e.padding, compute_dtype=cdt)
-        return z + p["b"]
+        return z + p["b"].astype(z.dtype)
     if t == ET.CONV_ONETOONE:
-        return conv_onetoone(x, p["w"], compute_dtype=cdt) + p["b"]
+        z = conv_onetoone(x, p["w"], compute_dtype=cdt)
+        return z + p["b"].astype(z.dtype)
     if t == ET.LOCAL:
         z = local_conv2d(x, p["w"], e.stride, e.padding, e.kernel_size, compute_dtype=cdt)
-        return z + p["b"]
+        return z + p["b"].astype(z.dtype)
     if t == ET.MAXPOOL:
         return maxpool2d(x, e.kernel_size, e.stride, e.padding)
     if t == ET.RESPONSE_NORM:
@@ -185,8 +189,12 @@ def apply_fn(
     output layers (the logits the losses consume)."""
     cdt = jnp.bfloat16 if graph.compute_dtype == "bfloat16" else None
     # storage dtype: activations (the backward pass's residuals) kept in
-    # bf16 halve HBM residual traffic; f32 by default
+    # bf16 halve HBM residual traffic; f32 by default. When compute_dtype
+    # is bf16 but activation_dtype isn't, the edge outputs (bf16) are
+    # upcast at the layer boundary so downstream layers see f32 — the
+    # fully fused bf16 chain needs both knobs on (the bench configs do).
     adt = jnp.bfloat16 if graph.activation_dtype == "bfloat16" else None
+    store_dt = adt if adt is not None else (jnp.float32 if cdt is not None else None)
     acts: Dict[str, jax.Array] = {}
     out: Dict[str, jax.Array] = {}
     want = set(return_layers) if return_layers is not None else None
@@ -227,6 +235,10 @@ def apply_fn(
                     contrib = _edge_fprop(graph, e, p, acts[e.source], cdt)
                 z = contrib if z is None else z + contrib
             if l.is_output:
+                # losses and output activations run in >= f32
+                # (softmax/log stability; extract-CLI feature parity;
+                # promote — never downcast the x64 grad-check path)
+                z = z.astype(jnp.promote_types(z.dtype, jnp.float32))
                 out[f"{name}:preact"] = z.reshape(z.shape[0], -1)
             a = apply_activation(z, l.activation)
             if train and l.dropprob > 0.0:
@@ -238,7 +250,7 @@ def apply_fn(
                 )
                 a = jnp.where(mask, a / keep, 0.0)  # inverted dropout
             drop_i += 1
-            acts[name] = a.astype(adt) if adt is not None else a
+            acts[name] = a.astype(store_dt) if store_dt is not None else a
         if want is None or name in want:
             out[name] = acts[name]
     return out

@@ -118,14 +118,15 @@ def conv2d(
     pad_h = ceil_mode_padding(x.shape[1], kh, stride, padding)
     pad_w = ceil_mode_padding(x.shape[2], kw, stride, padding)
     if compute_dtype is not None:
-        # Run entirely in compute_dtype and cast the result back: the
-        # astype transpose then casts the cotangent down too, so the
-        # bwd convs also run on the MXU fast path (mixing a float32
-        # preferred_element_type with bf16 operands breaks the conv
-        # transpose rule's dtype agreement).
+        # Run entirely in compute_dtype and RETURN compute_dtype: the
+        # bias/activation epilogue and the next edge consume it as-is, so
+        # forward activations and backward cotangents both stay bf16 —
+        # no per-edge f32 round-trip (those round-trips showed up in the
+        # v5e trace as full-tensor convert+copy ops between every edge).
         x = x.astype(compute_dtype)
         w = w.astype(compute_dtype)
-    # f32-or-wider accumulate; None in compute_dtype mode (see above)
+    # f32-or-wider accumulate; in compute_dtype mode the MXU still
+    # accumulates f32 internally and rounds the output to compute_dtype
     pref = (
         None if compute_dtype is not None else jnp.promote_types(x.dtype, jnp.float32)
     )
@@ -133,23 +134,22 @@ def conv2d(
     if stride > 1 and cin * stride * stride <= _S2D_MAX_FOLDED_CIN:
         out_h = conv_out_size(x.shape[1], kh, stride, padding)
         out_w = conv_out_size(x.shape[2], kw, stride, padding)
-        out = _space_to_depth_conv(x, w, stride, out_h, out_w, pad_h, pad_w, pref, prec)
-    else:
-        out = lax.conv_general_dilated(
-            x,
-            w,
-            window_strides=(stride, stride),
-            padding=(pad_h, pad_w),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=pref,
-            precision=prec,
-        )
-    return out.astype(jnp.float32) if compute_dtype is not None else out
+        return _space_to_depth_conv(x, w, stride, out_h, out_w, pad_h, pad_w, pref, prec)
+    return lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(stride, stride),
+        padding=(pad_h, pad_w),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=pref,
+        precision=prec,
+    )
 
 
 def conv_onetoone(x: jax.Array, w: jax.Array, compute_dtype=None) -> jax.Array:
     """1x1 channel-mixing conv (reference: ConvOneToOneEdge [U]) — a pure
-    MXU matmul over the channel axis."""
+    MXU matmul over the channel axis. Returns compute_dtype when set
+    (f32 MXU accumulation either way)."""
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
         w = w.astype(compute_dtype)
@@ -157,7 +157,9 @@ def conv_onetoone(x: jax.Array, w: jax.Array, compute_dtype=None) -> jax.Array:
         "bhwc,cd->bhwd",
         x,
         w,
-        preferred_element_type=jnp.promote_types(x.dtype, jnp.float32),
+        preferred_element_type=None
+        if compute_dtype is not None
+        else jnp.promote_types(x.dtype, jnp.float32),
         precision=matmul_precision(compute_dtype),
     )
 
@@ -166,6 +168,7 @@ def fc(x: jax.Array, w: jax.Array, compute_dtype=None) -> jax.Array:
     """Fully connected edge (reference: FCEdge over cudamat dot [U]).
 
     x: (B, H, W, C) — flattened to (B, H*W*C); w: (H*W*C, units).
+    Returns compute_dtype when set (f32 MXU accumulation either way).
     """
     xf = x.reshape(x.shape[0], -1)
     if compute_dtype is not None:
@@ -174,6 +177,8 @@ def fc(x: jax.Array, w: jax.Array, compute_dtype=None) -> jax.Array:
     return jnp.dot(
         xf,
         w,
-        preferred_element_type=jnp.promote_types(xf.dtype, jnp.float32),
+        preferred_element_type=None
+        if compute_dtype is not None
+        else jnp.promote_types(xf.dtype, jnp.float32),
         precision=matmul_precision(compute_dtype),
     )

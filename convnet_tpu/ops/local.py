@@ -41,7 +41,7 @@ def local_conv2d(
         filter_shape=(kernel, kernel),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         precision=matmul_precision(compute_dtype),
-    ).astype(jnp.float32)
+    )
 
 
 def local_weight_shape(
