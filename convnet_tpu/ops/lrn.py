@@ -85,7 +85,10 @@ def _window_sum(v, n: int, blocked: bool, c: int, transpose: bool = False):
                 shape + (c,)
             )
         bmat = jnp.asarray(_band_matrix(c, n, True))
-        return jax.lax.dot(v, bmat, preferred_element_type=jnp.float32)
+        # blocked windows are symmetric: contracting either bmat axis works
+        return jnp.einsum(
+            "...j,ij->...i", v, bmat, preferred_element_type=jnp.float32
+        )
     lo, hi = n // 2, (n - 1) // 2
     if transpose:
         lo, hi = hi, lo
@@ -311,6 +314,10 @@ _PALLAS_MAX_C = 1024
 
 
 def _use_pallas(backend: str, c: int) -> bool:
+    import os
+
+    if backend == "auto":
+        backend = os.environ.get("CONVNET_LRN_BACKEND", "auto")
     if backend == "pallas":
         return True
     if backend == "xla":
@@ -346,13 +353,15 @@ def _lrn_fwd(x, add_scale, pow_scale, frac, blocked, backend):
     n = norm_window_size(c, frac)
     alpha = add_scale / n
     beta = float(pow_scale)
-    x2d = x.reshape(-1, c)
     if _use_pallas(backend, c):
         interp = jax.default_backend() == "cpu"  # tests force backend="pallas"
-        y2d = _pallas_fwd(x2d, n, blocked, alpha, beta, interpret=interp)
-    else:
-        y2d = _fwd_math(x2d.astype(jnp.float32), n, blocked, c, alpha, beta)
-    return y2d.reshape(x.shape).astype(x.dtype)
+        y2d = _pallas_fwd(x.reshape(-1, c), n, blocked, alpha, beta, interpret=interp)
+        return y2d.reshape(x.shape).astype(x.dtype)
+    # XLA path: no reshape, no materialized cast — the f32 math happens in
+    # registers inside whatever fusion/layout XLA picks for the neighbors,
+    # so this form composes with zero boundary copies.
+    y = _fwd_math(x.astype(jnp.float32), n, blocked, c, alpha, beta)
+    return y.astype(x.dtype)
 
 
 def _lrn_fwd_vjp(x, add_scale, pow_scale, frac, blocked, backend):
@@ -365,17 +374,16 @@ def _lrn_bwd_vjp(add_scale, pow_scale, frac, blocked, backend, x, g):
     n = norm_window_size(c, frac)
     alpha = add_scale / n
     beta = float(pow_scale)
-    x2d = x.reshape(-1, c)
-    g2d = g.reshape(-1, c).astype(x2d.dtype)
     if _use_pallas(backend, c):
         interp = jax.default_backend() == "cpu"
+        x2d = x.reshape(-1, c)
+        g2d = g.reshape(-1, c).astype(x2d.dtype)
         dx2d = _pallas_bwd(g2d, x2d, n, blocked, alpha, beta, interpret=interp)
-    else:
-        dx2d = _bwd_math(
-            g2d.astype(jnp.float32), x2d.astype(jnp.float32), n, blocked, c,
-            alpha, beta,
-        )
-    return (dx2d.reshape(x.shape).astype(x.dtype),)
+        return (dx2d.reshape(x.shape).astype(x.dtype),)
+    dx = _bwd_math(
+        g.astype(jnp.float32), x.astype(jnp.float32), n, blocked, c, alpha, beta
+    )
+    return (dx.astype(x.dtype),)
 
 
 response_norm_cross_map.defvjp(_lrn_fwd_vjp, _lrn_bwd_vjp)
