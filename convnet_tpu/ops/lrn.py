@@ -307,6 +307,88 @@ def _pallas_bwd(g2d, x2d, n, blocked, alpha, beta, interpret):
     return dx.reshape(m0, c0)
 
 
+# ---------------------------------------------------------------------------
+# Transposed (layout-native) kernels for 4D NHWC inputs.
+#
+# XLA lays conv/pool activations out batch-minor ({0,3,2,1}: B on lanes,
+# C on sublanes). A Pallas call pins its operands to descending
+# row-major, so feeding it the logical NHWC array forces a full relayout
+# copy on both sides (measured ~0.6 ms per 150 MB tensor per crossing on
+# v5e — more than the kernel itself). Feeding it x.transpose(1,2,3,0)
+# instead makes the required row-major bytes IDENTICAL to the {0,3,2,1}
+# physical bytes, so the boundary transposes compile to bitcasts. Inside
+# the kernel the tile is (rows, C, B): every elementwise op runs at full
+# B-lane width and the channel-window shifts are sublane addressing, not
+# lane rotations.
+# ---------------------------------------------------------------------------
+
+
+def _window_sum_mid(v, n: int, c: int, transpose: bool = False):
+    """Sliding window sum over axis 1 of a (M, C, B) tile."""
+    lo, hi = n // 2, (n - 1) // 2
+    if transpose:
+        lo, hi = hi, lo
+    vp = jnp.pad(v, ((0, 0), (lo, hi), (0, 0)))
+    s = vp[:, 0:c, :]
+    for k in range(1, n):
+        s = s + vp[:, k : k + c, :]
+    return s
+
+
+def _lrn_fwd_kernel_t(x_ref, y_ref, *, n, c, alpha, beta):
+    x = x_ref[:].astype(jnp.float32)
+    d = 1.0 + alpha * _window_sum_mid(x * x, n, c)
+    y_ref[:] = (x * _neg_pow(d, beta)).astype(y_ref.dtype)
+
+
+def _lrn_bwd_kernel_t(g_ref, x_ref, dx_ref, *, n, c, alpha, beta):
+    g = g_ref[:].astype(jnp.float32)
+    x = x_ref[:].astype(jnp.float32)
+    d = 1.0 + alpha * _window_sum_mid(x * x, n, c)
+    pb = _neg_pow(d, beta)
+    inner = _window_sum_mid(g * x * (pb / d), n, c, transpose=True)
+    dx_ref[:] = (g * pb - 2.0 * alpha * beta * x * inner).astype(dx_ref.dtype)
+
+
+def _pick_tile_t(m: int, c: int, b: int) -> int:
+    """Rows per grid step for the (M, C, B) form; M is a major (untiled)
+    axis so any divisor works — prefer exact coverage, accept ragged."""
+    cap = max(1, _TILE_BYTES // (4 * c * max(b, 128)))
+    best = 0
+    for t in range(1, min(cap, m) + 1):
+        if m % t == 0:
+            best = t
+    return best or min(cap, m)
+
+
+def _pallas_t(call_bwd, arrays, n, alpha, beta, interpret):
+    """Shared driver for the transposed kernels. arrays: (x,) or (g, x),
+    each (H, W, C, B)."""
+    h, w, c, b = arrays[0].shape
+    m = h * w
+    arrs = [a.reshape(m, c, b) for a in arrays]
+    tile_m = _pick_tile_t(m, c, b)
+    spec = pl.BlockSpec((tile_m, c, b), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    kernel = functools.partial(
+        _lrn_bwd_kernel_t if call_bwd else _lrn_fwd_kernel_t,
+        n=n, c=c, alpha=alpha, beta=beta,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(pl.cdiv(m, tile_m),),
+        in_specs=[spec] * len(arrs),
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((m, c, b), arrs[0].dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=(2 * n + 14) * m * c * b,
+            bytes_accessed=(len(arrs) + 1) * _bytes(arrs[0]),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*arrs)
+    return out.reshape(h, w, c, b)
+
+
 # Above this channel count the C x C band matrix stops being "small" VMEM
 # freight (and the O(C) matmul stops beating the O(n) shifted adds) —
 # auto mode falls back to XLA. Real LRN nets use C <= 512.
@@ -355,6 +437,10 @@ def _lrn_fwd(x, add_scale, pow_scale, frac, blocked, backend):
     beta = float(pow_scale)
     if _use_pallas(backend, c):
         interp = jax.default_backend() == "cpu"  # tests force backend="pallas"
+        if x.ndim == 4 and not blocked:
+            xt = jnp.transpose(x, (1, 2, 3, 0))
+            yt = _pallas_t(False, (xt,), n, alpha, beta, interp)
+            return jnp.transpose(yt, (3, 0, 1, 2)).astype(x.dtype)
         y2d = _pallas_fwd(x.reshape(-1, c), n, blocked, alpha, beta, interpret=interp)
         return y2d.reshape(x.shape).astype(x.dtype)
     # XLA path: no reshape, no materialized cast — the f32 math happens in
@@ -376,6 +462,11 @@ def _lrn_bwd_vjp(add_scale, pow_scale, frac, blocked, backend, x, g):
     beta = float(pow_scale)
     if _use_pallas(backend, c):
         interp = jax.default_backend() == "cpu"
+        if x.ndim == 4 and not blocked:
+            xt = jnp.transpose(x, (1, 2, 3, 0))
+            gt = jnp.transpose(g.astype(x.dtype), (1, 2, 3, 0))
+            dxt = _pallas_t(True, (gt, xt), n, alpha, beta, interp)
+            return (jnp.transpose(dxt, (3, 0, 1, 2)).astype(x.dtype),)
         x2d = x.reshape(-1, c)
         g2d = g.reshape(-1, c).astype(x2d.dtype)
         dx2d = _pallas_bwd(g2d, x2d, n, blocked, alpha, beta, interpret=interp)
