@@ -35,6 +35,24 @@ class JitterSpec:
             raise ValueError("image_size must be positive")
 
 
+def _onehot_crop_flip(x, s, oy, ox, flips):
+    """Gather rows/cols through one-hot contractions on the MXU.
+
+    x: (B, H, W, C) uint8; oy/ox: (B,) crop origins; flips: (B,) bool or
+    None. Returns (B, s, s, C) bf16 holding exact uint8 values.
+    """
+    b, h, w, c = x.shape
+    ii = jnp.arange(s)
+    oh_rows = (oy[:, None, None] + ii[None, :, None] == jnp.arange(h)[None, None, :])
+    tgt = ii[None, :]
+    if flips is not None:
+        tgt = jnp.where(flips[:, None], s - 1 - ii[None, :], tgt)
+    oh_cols = (ox[:, None, None] + tgt[:, :, None] == jnp.arange(w)[None, None, :])
+    xb = x.astype(jnp.bfloat16)
+    y = jnp.einsum("bih,bhwc->biwc", oh_rows.astype(jnp.bfloat16), xb)
+    return jnp.einsum("bjw,biwc->bijc", oh_cols.astype(jnp.bfloat16), y)
+
+
 def jitter_batch(
     x: jax.Array,
     spec: JitterSpec,
@@ -75,24 +93,37 @@ def jitter_batch(
             x = x / jnp.asarray(std, jnp.float32)
             std = None
 
-    if h > s or w > s:
-        if train and spec.can_translate:
-            if rng is None:
-                raise ValueError("train jitter needs rng")
-            ky, kx = jax.random.split(jax.random.fold_in(rng, 0))
-            oy = jax.random.randint(ky, (b,), 0, h - s + 1)
-            ox = jax.random.randint(kx, (b,), 0, w - s + 1)
-        else:
-            oy = jnp.full((b,), (h - s) // 2)
-            ox = jnp.full((b,), (w - s) // 2)
-        x = jax.vmap(
-            lambda img, y0, x0: jax.lax.dynamic_slice(img, (y0, x0, 0), (s, s, c))
-        )(x, oy, ox)
-
+    flips = None
     if train and spec.can_flip:
         if rng is None:
             raise ValueError("train jitter needs rng")
         flips = jax.random.bernoulli(jax.random.fold_in(rng, 1), 0.5, (b,))
+
+    if train and spec.can_translate and (h > s or w > s):
+        if rng is None:
+            raise ValueError("train jitter needs rng")
+        ky, kx = jax.random.split(jax.random.fold_in(rng, 0))
+        oy = jax.random.randint(ky, (b,), 0, h - s + 1)
+        ox = jax.random.randint(kx, (b,), 0, w - s + 1)
+        if x.dtype == jnp.uint8:
+            # Per-sample crop + flip as two one-hot batched matmuls: the
+            # MXU is idle during augmentation while the vmapped
+            # dynamic-slice lowers to a batch-serial while loop and the
+            # flip to a materialized reverse+select (~1.6 ms/step at
+            # AlexNet batch 256). Exact: uint8 values and one-hot weights
+            # are exactly representable in bf16. Flip rides free in the
+            # column one-hot.
+            x = _onehot_crop_flip(x, s, oy, ox, flips)
+            flips = None
+        else:
+            x = jax.vmap(
+                lambda img, y0, x0: jax.lax.dynamic_slice(img, (y0, x0, 0), (s, s, c))
+            )(x, oy, ox)
+    elif h > s or w > s:
+        cy, cx = (h - s) // 2, (w - s) // 2
+        x = x[:, cy : cy + s, cx : cx + s, :]
+
+    if flips is not None:
         x = jnp.where(flips[:, None, None, None], x[:, :, ::-1, :], x)
 
     x = x.astype(jnp.float32)
