@@ -2,7 +2,7 @@
 # Runtime needs nothing built: generated protobuf code is checked in and
 # the native data-loader is optional (Python fallback exists).
 
-.PHONY: proto native test bench dryrun clean
+.PHONY: proto native test test-tpu bench dryrun clean
 
 proto:
 	cd convnet_tpu/proto && protoc --python_out=. convnet_config.proto
@@ -12,6 +12,10 @@ native:
 
 test:
 	python -m pytest tests/ -x -q
+
+test-tpu:  # hardware-eligible subset on the real chip (compiled Pallas)
+	CONVNET_TEST_TPU=1 CONVNET_DROPOUT_BACKEND=pallas python -m pytest \
+	    tests/test_ops.py tests/test_dropout.py tests/test_torch_parity.py -x -q
 
 bench:  # headline AlexNet img/s on the local accelerator
 	python bench.py

@@ -30,6 +30,7 @@ from convnet_tpu.graph import ET, INIT, LOSS, EdgeSpec, Graph
 from convnet_tpu.ops import losses as losses_ops
 from convnet_tpu.ops.activations import apply_activation
 from convnet_tpu.ops.conv import conv2d, conv_onetoone, fc
+from convnet_tpu.ops.dropout import dropout as dropout_op
 from convnet_tpu.ops.local import local_conv2d, local_weight_shape
 from convnet_tpu.ops.lrn import response_norm_cross_map
 from convnet_tpu.ops.pool import maxpool2d
@@ -244,11 +245,9 @@ def apply_fn(
             if train and l.dropprob > 0.0:
                 if dropout_rng is None:
                     raise ValueError("train=True with dropout needs dropout_rng")
-                keep = 1.0 - l.dropprob
-                mask = jax.random.bernoulli(
-                    jax.random.fold_in(dropout_rng, drop_i), keep, a.shape
-                )
-                a = jnp.where(mask, a / keep, 0.0)  # inverted dropout
+                # inverted dropout; hardware-PRNG kernel on TPU with a
+                # mask-recompute VJP (zero residual) — ops/dropout.py
+                a = dropout_op(a, l.dropprob, jax.random.fold_in(dropout_rng, drop_i))
             drop_i += 1
             acts[name] = a.astype(store_dt) if store_dt is not None else a
         if want is None or name in want:
