@@ -8,7 +8,7 @@ subset of each edge's weights.
 
 Usage:
     python -m convnet_tpu.cli.grad_check MODEL.pbtxt [--batch-size 8]
-        [--samples 20] [--eps 1e-3] [--tol 2e-3] [--image-size N]
+        [--samples 20] [--x64] [--tol 2e-3] [--tol-edge SRC:DST=TOL]
 """
 
 from __future__ import annotations
@@ -54,6 +54,7 @@ def check_graph(
     seed=0,
     log=print,
     use_x64=False,
+    tol_edges=None,
 ):
     """Returns (num_failures, max_rel_err). rel err per cuda-convnet:
     |analytic - numeric| / max(1, |analytic| + |numeric|).
@@ -67,14 +68,17 @@ def check_graph(
         jax.config.update("jax_enable_x64", True)
         try:
             return _check_graph_impl(
-                graph, batch_size, samples, eps, tol, seed, log, np.float64
+                graph, batch_size, samples, eps, tol, seed, log, np.float64, tol_edges
             )
         finally:
             jax.config.update("jax_enable_x64", prev)
-    return _check_graph_impl(graph, batch_size, samples, eps, tol, seed, log, None)
+    return _check_graph_impl(
+        graph, batch_size, samples, eps, tol, seed, log, None, tol_edges
+    )
 
 
-def _check_graph_impl(graph, batch_size, samples, eps, tol, seed, log, cast):
+def _check_graph_impl(graph, batch_size, samples, eps, tol, seed, log, cast, tol_edges):
+    tol_edges = tol_edges or {}
     rng = np.random.RandomState(seed)
     params = model_lib.init_params(graph, seed=seed)
     batch = synth_batch(graph, batch_size, rng)
@@ -115,8 +119,9 @@ def _check_graph_impl(graph, batch_size, samples, eps, tol, seed, log, cast):
                 rel = abs(analytic - numeric) / max(1.0, abs(analytic) + abs(numeric))
                 worst = max(worst, rel)
             max_rel = max(max_rel, worst)
-            status = "OK " if worst <= tol else "FAIL"
-            if worst > tol:
+            edge_tol = tol_edges.get(edge_name, tol)
+            status = "OK " if worst <= edge_tol else "FAIL"
+            if worst > edge_tol:
                 failures += 1
             log(f"{status} {edge_name:>30s}.{leaf_name}  max_rel_err {worst:.2e}")
     return failures, max_rel
@@ -127,16 +132,31 @@ def build_argparser():
     p.add_argument("model", help="model .pbtxt")
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--samples", type=int, default=20)
-    p.add_argument("--eps", type=float, default=1e-3)
+    p.add_argument(
+        "--eps",
+        type=float,
+        default=None,
+        help="finite-difference step (default: 1e-7 with --x64 where "
+        "truncation dominates, else 1e-3 to stay above f32 cancellation)",
+    )
     p.add_argument(
         "--tol",
         type=float,
-        default=1e-2,
+        default=2e-3,
         help=(
-            "ReLU/maxpool kinks make finite differences noisy near "
-            "activation boundaries; analytic grads are separately "
-            "verified against autodiff in tests/test_model.py"
+            "max relative error per edge (default 2e-3 — use --x64 so "
+            "finite differences aren't cancellation-limited); loosen a "
+            "specific edge with --tol-edge when a ReLU/maxpool kink "
+            "sits within eps of a sampled weight"
         ),
+    )
+    p.add_argument(
+        "--tol-edge",
+        action="append",
+        default=[],
+        metavar="SRC:DST=TOL",
+        help="per-edge tolerance override, repeatable "
+        "(e.g. --tol-edge conv1:pool1=1e-2)",
     )
     p.add_argument("--image-size", type=int, default=None, help="override input size")
     p.add_argument("--seed", type=int, default=0)
@@ -151,6 +171,19 @@ def build_argparser():
 
 def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
+    if args.x64:
+        # f64 lives on CPU: TPU HLO has no f64 select-and-scatter (and
+        # round-tripping every finite-difference probe through the chip
+        # tunnel is orders slower than local XLA:CPU anyway)
+        jax.config.update("jax_platforms", "cpu")
+    tol_edges = {}
+    for spec in args.tol_edge:
+        name, _, val = spec.partition("=")
+        if not val:
+            raise SystemExit(f"--tol-edge expects SRC:DST=TOL, got {spec!r}")
+        tol_edges[name] = float(val)
+    if args.eps is None:
+        args.eps = 1e-7 if args.x64 else 1e-3
     model = config.read_model(args.model)
     sizes = {}
     if args.image_size:
@@ -166,6 +199,7 @@ def main(argv=None) -> int:
         tol=args.tol,
         seed=args.seed,
         use_x64=args.x64,
+        tol_edges=tol_edges,
     )
     print(f"grad check: {failures} failures, max rel err {max_rel:.2e}")
     return 1 if failures else 0
