@@ -24,10 +24,13 @@ from convnet_tpu.trainer import JitterMap, make_forward
 class Predictor:
     """Compiled fixed-batch forward pass over chosen layers.
 
-    Inputs are expected at the model's (cropped) image size; when a
-    jitter map is given its mean/scale normalization is applied but the
-    compiled shape is the crop size — resize/crop larger sources on the
-    client (or go through the extract CLI, which handles raw sizes)."""
+    With a jitter map the compiled program runs the model's own eval
+    prologue — center crop from `raw_size` (default: the crop size
+    itself) plus mean/scale normalization — so clients can ship raw
+    pre-crop images exactly as the reference's serving path accepted
+    them (src/extract_representation.cc [U]). `input_dtype=np.uint8`
+    compiles the uint8 fast path (4x less host->device traffic; the
+    crop runs on uint8 and normalization happens on device)."""
 
     def __init__(
         self,
@@ -36,38 +39,55 @@ class Predictor:
         layers: Optional[List[str]] = None,
         batch_size: int = 128,
         jitter: Optional[JitterMap] = None,
+        raw_size: Optional[int] = None,
+        input_dtype=np.float32,
     ):
         self.graph = graph
         self.batch_size = batch_size
         self.layers = layers or [l.name for l in graph.output_layers]
         for name in self.layers:
             graph.layer(name)  # validate early
+        if raw_size is not None:
+            if jitter is None:
+                raise ValueError("raw_size needs a jitter map (it defines the crop)")
+            crop = max(spec.image_size for spec, _, _ in jitter.values())
+            if raw_size < crop:
+                raise ValueError(f"raw_size {raw_size} < crop size {crop}")
         self.params = jax.tree.map(jnp.asarray, params)
         self._fwd = make_forward(graph, self.layers, jitter)
         # AOT compile now so serving latency is flat from request one
         self._jitter = jitter
+        self._raw_size = raw_size
+        self._input_dtype = np.dtype(input_dtype)
         example = self._example_batch()
         self._compiled = self._fwd.lower(self.params, example).compile()
 
     @classmethod
     def from_checkpoint(
-        cls, graph: Graph, path: str, layers=None, batch_size: int = 128, jitter=None
+        cls,
+        graph: Graph,
+        path: str,
+        layers=None,
+        batch_size: int = 128,
+        jitter=None,
+        raw_size=None,
+        input_dtype=np.float32,
     ) -> "Predictor":
         from convnet_tpu.model import param_shapes
 
         params, _, _ = ckpt.load(path, expected_shapes=param_shapes(graph))
-        return cls(graph, params, layers, batch_size, jitter)
+        return cls(graph, params, layers, batch_size, jitter, raw_size, input_dtype)
 
     def _example_batch(self):
         out = {}
         for l in self.graph.input_layers:
             h, w, c = self.graph.shapes[l.name]
+            dt = jnp.float32
             if self._jitter and l.data_field in self._jitter:
                 spec = self._jitter[l.data_field][0]
-                # raw (pre-crop) size is whatever the caller ships; the
-                # compiled shape fixes it to the crop size + margin-free
-                h = w = spec.image_size
-            out[l.data_field] = jnp.zeros((self.batch_size, h, w, c), jnp.float32)
+                h = w = self._raw_size or spec.image_size
+                dt = self._input_dtype
+            out[l.data_field] = jnp.zeros((self.batch_size, h, w, c), dt)
         return out
 
     def __call__(self, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
@@ -76,9 +96,10 @@ class Predictor:
         n = next(iter(batch.values())).shape[0]
         if n > self.batch_size:
             raise ValueError(f"batch of {n} exceeds compiled batch_size {self.batch_size}")
+        jittered = set(self._jitter or ())
         padded = {}
         for k, v in batch.items():
-            v = np.asarray(v, np.float32)
+            v = np.asarray(v, self._input_dtype if k in jittered else np.float32)
             if n < self.batch_size:
                 pad = np.repeat(v[-1:], self.batch_size - n, axis=0)
                 v = np.concatenate([v, pad], axis=0)

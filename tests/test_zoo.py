@@ -75,3 +75,48 @@ def test_timer_accumulates():
     assert t.count == 2
     assert 0.005 < t.mean < 1.0
     assert t.total >= 0.02
+
+
+def test_predictor_raw_size_center_crop():
+    """raw_size compiles the eval prologue at the raw shape: shipping a
+    raw image equals center-cropping on the client first."""
+    import numpy as np
+
+    from convnet_tpu import config, model as model_lib
+    from convnet_tpu.data.jitter import JitterSpec
+    from convnet_tpu.graph import build_graph
+    from convnet_tpu.predictor import Predictor
+
+    g = build_graph(config.parse_model(
+        """
+        name: "praw"
+        layer { name: "input" is_input: true num_channels: 3 image_size: 8 }
+        layer { name: "h" num_channels: 8 activation: RECTIFIED_LINEAR }
+        layer { name: "output" is_output: true num_channels: 4 activation: SOFTMAX data_field: "labels" }
+        edge { source: "input" dest: "h" edge_type: CONV kernel_size: 3 stride: 1 padding: 1
+               initialization: DENSE_GAUSSIAN init_wt: 0.2 }
+        edge { source: "h" dest: "output" edge_type: FC initialization: DENSE_GAUSSIAN_SQRT_FAN_IN init_wt: 1.0 }
+        """
+    ))
+    params = model_lib.init_params(g)
+    mean = np.full((3,), 0.4, np.float32)
+    jit = {"input": (JitterSpec(image_size=8, scale=1 / 255), mean, None)}
+
+    rng = np.random.RandomState(0)
+    raw = rng.randint(0, 256, (4, 12, 12, 3)).astype(np.uint8)
+
+    p_raw = Predictor(g, params, batch_size=4, jitter=jit, raw_size=12,
+                      input_dtype=np.uint8)
+    out_raw = p_raw({"input": raw})["output"]
+
+    p_crop = Predictor(g, params, batch_size=4, jitter=jit)
+    cropped = raw[:, 2:10, 2:10, :]  # center crop 12 -> 8
+    out_crop = p_crop({"input": cropped})["output"]
+    np.testing.assert_allclose(out_raw, out_crop, rtol=2e-5, atol=1e-6)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="raw_size"):
+        Predictor(g, params, batch_size=4, jitter=jit, raw_size=4)
+    with pytest.raises(ValueError, match="jitter"):
+        Predictor(g, params, batch_size=4, raw_size=12)
