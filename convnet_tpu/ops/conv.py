@@ -44,6 +44,21 @@ def ceil_mode_padding(
 # folds to 48. Above 128 the fold stops paying for its transpose.
 _S2D_MAX_FOLDED_CIN = 128
 
+# Below this input-channel count, plain convs are zero-padded up to it:
+# libtpu's weight-gradient conv for degenerate Cin compiles
+# pathologically (measured on v5e: Cin=1 5x5 wgrad takes 54s at
+# DEFAULT precision and >15min — effectively hangs — at HIGHEST, while
+# Cin=16 takes 5.5s), and the MXU runs the contraction over 16 lanes
+# in the same cycles it would over 1. Zero channels are exact: fwd
+# output is unchanged and the pad's transpose slices dx/dw back.
+_MIN_CIN = 16
+
+
+def _pad_cin(x, w, cin):
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, _MIN_CIN - cin)))
+    w = jnp.pad(w, ((0, 0), (0, 0), (0, _MIN_CIN - cin), (0, 0)))
+    return x, w
+
 
 def _space_to_depth_conv(x, w, stride, out_h, out_w, pad_h, pad_w, pref, prec):
     """Strided conv as a stride-1 conv over a space-to-depth view.
@@ -135,6 +150,8 @@ def conv2d(
         out_h = conv_out_size(x.shape[1], kh, stride, padding)
         out_w = conv_out_size(x.shape[2], kw, stride, padding)
         return _space_to_depth_conv(x, w, stride, out_h, out_w, pad_h, pad_w, pref, prec)
+    if cin < _MIN_CIN:
+        x, w = _pad_cin(x, w, cin)
     return lax.conv_general_dilated(
         x,
         w,

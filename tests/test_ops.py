@@ -273,3 +273,38 @@ def test_lrn_bf16_input():
     np.testing.assert_allclose(
         np.asarray(y16, np.float32), np.asarray(y32), atol=0.02
     )
+
+
+def test_conv_small_cin_pad_exact():
+    """Cin < _MIN_CIN convs run zero-padded to 16 lanes (degenerate-Cin
+    weight-grad convs hang libtpu's compiler); fwd + both grads must be
+    bit-identical to the unpadded formulation."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import lax
+
+    from convnet_tpu.ops.conv import ceil_mode_padding, conv2d
+
+    rng = np.random.RandomState(0)
+    for cin in (1, 3):
+        x = jnp.asarray(rng.randn(2, 9, 9, cin).astype(np.float32))
+        w = jnp.asarray(rng.randn(3, 3, cin, 8).astype(np.float32))
+
+        def ours(x_, w_):
+            return conv2d(x_, w_, stride=1, padding=1)
+
+        def ref(x_, w_):
+            ph = ceil_mode_padding(9, 3, 1, 1)
+            return lax.conv_general_dilated(
+                x_, w_, (1, 1), (ph, ph),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32,
+                precision=lax.Precision.HIGHEST,
+            )
+
+        np.testing.assert_array_equal(np.asarray(ours(x, w)), np.asarray(ref(x, w)))
+        g_ours = jax.grad(lambda a, b: (ours(a, b) ** 2).sum(), argnums=(0, 1))(x, w)
+        g_ref = jax.grad(lambda a, b: (ref(a, b) ** 2).sum(), argnums=(0, 1))(x, w)
+        for go, gr in zip(g_ours, g_ref):
+            np.testing.assert_allclose(np.asarray(go), np.asarray(gr), rtol=1e-5, atol=1e-4)
