@@ -44,20 +44,40 @@ def ceil_mode_padding(
 # folds to 48. Above 128 the fold stops paying for its transpose.
 _S2D_MAX_FOLDED_CIN = 128
 
-# Below this input-channel count, plain convs are zero-padded up to it:
-# libtpu's weight-gradient conv for degenerate Cin compiles
-# pathologically (measured on v5e: Cin=1 5x5 wgrad takes 54s at
-# DEFAULT precision and >15min — effectively hangs — at HIGHEST, while
-# Cin=16 takes 5.5s), and the MXU runs the contraction over 16 lanes
-# in the same cycles it would over 1. Zero channels are exact: fwd
-# output is unchanged and the pad's transpose slices dx/dw back.
+# Below this input-channel count, plain convs run as im2col + one MXU
+# matmul instead of the conv primitive: libtpu's weight-gradient conv
+# for degenerate Cin compiles pathologically (measured on v5e: Cin=1
+# 5x5 wgrad takes 54s at DEFAULT precision and >15min — effectively
+# hangs — at HIGHEST, while Cin=16 takes 5.5s; zero-padding Cin up is
+# undone by the algebraic simplifier, which regenerates the degenerate
+# conv). im2col also feeds the MXU a kh*kw*Cin-deep contraction (25-75
+# lanes) instead of Cin per tap, and its grads are matmul/slice
+# transposes — no gradient conv exists to hang.
 _MIN_CIN = 16
 
 
-def _pad_cin(x, w, cin):
-    x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, _MIN_CIN - cin)))
-    w = jnp.pad(w, ((0, 0), (0, 0), (0, _MIN_CIN - cin), (0, 0)))
-    return x, w
+def _im2col_conv(x, w, stride, out_h, out_w, pad_h, pad_w, pref, prec):
+    """y[b,p,q,:] = sum_{i,j,c} x[b, p*s+i, q*s+j, c] * w[i,j,c,:].
+
+    Patch extraction is kh*kw static shifted slices concatenated on the
+    channel axis — (i, j, c) order matching w.reshape(kh*kw*cin, cout).
+    """
+    kh, kw, cin, cout = w.shape
+    s = stride
+    x = jnp.pad(x, ((0, 0), pad_h, pad_w, (0, 0)))
+    cols = [
+        x[:, i : i + (out_h - 1) * s + 1 : s, j : j + (out_w - 1) * s + 1 : s, :]
+        for i in range(kh)
+        for j in range(kw)
+    ]
+    patches = jnp.concatenate(cols, axis=-1)
+    return jnp.einsum(
+        "bhwk,kc->bhwc",
+        patches,
+        w.reshape(kh * kw * cin, cout),
+        preferred_element_type=pref,
+        precision=prec,
+    )
 
 
 def _space_to_depth_conv(x, w, stride, out_h, out_w, pad_h, pad_w, pref, prec):
@@ -151,7 +171,9 @@ def conv2d(
         out_w = conv_out_size(x.shape[2], kw, stride, padding)
         return _space_to_depth_conv(x, w, stride, out_h, out_w, pad_h, pad_w, pref, prec)
     if cin < _MIN_CIN:
-        x, w = _pad_cin(x, w, cin)
+        out_h = conv_out_size(x.shape[1], kh, stride, padding)
+        out_w = conv_out_size(x.shape[2], kw, stride, padding)
+        return _im2col_conv(x, w, stride, out_h, out_w, pad_h, pad_w, pref, prec)
     return lax.conv_general_dilated(
         x,
         w,
