@@ -395,6 +395,27 @@ def _pallas_t(call_bwd, arrays, n, alpha, beta, interpret):
 _PALLAS_MAX_C = 1024
 
 
+def _prefer_2d(c: int) -> bool:
+    """Choose the kernel *form* by the layout XLA gives the activation.
+
+    Lane-aligned channel counts (C % 128 == 0) get C-minor activations
+    ({3,0,2,1}) from the conv emitters, whose physical bytes equal the
+    row-major (H, W, B, C) view — the folded-2D kernel's shape, so its
+    boundary transposes become bitcasts (measured: the transposed-form
+    kernel on rnorm2 C=256 pays 4 x 0.58 ms of relayout copies the 2D
+    form avoids). Non-aligned C (e.g. 96) gets batch-minor {0,3,2,1},
+    matching the transposed (H, W, C, B) form. CONVNET_LRN_FORM
+    overrides ("t" | "2d") for A/B on new shapes."""
+    import os
+
+    form = os.environ.get("CONVNET_LRN_FORM", "auto")
+    if form == "t":
+        return False
+    if form == "2d":
+        return True
+    return c % 128 == 0
+
+
 def _use_pallas(backend: str, c: int) -> bool:
     import os
 
@@ -437,10 +458,18 @@ def _lrn_fwd(x, add_scale, pow_scale, frac, blocked, backend):
     beta = float(pow_scale)
     if _use_pallas(backend, c):
         interp = jax.default_backend() == "cpu"  # tests force backend="pallas"
-        if x.ndim == 4 and not blocked:
+        if x.ndim == 4 and not blocked and not _prefer_2d(c):
             xt = jnp.transpose(x, (1, 2, 3, 0))
             yt = _pallas_t(False, (xt,), n, alpha, beta, interp)
             return jnp.transpose(yt, (3, 0, 1, 2)).astype(x.dtype)
+        if x.ndim == 4 and not blocked:
+            # (H, W, B, C) view: for C-minor activations ({3,0,2,1}, what
+            # XLA picks for lane-aligned C) this permutation is a bitcast
+            b_, h_, w_, c_ = x.shape
+            x2 = jnp.transpose(x, (1, 2, 0, 3)).reshape(-1, c)
+            y2 = _pallas_fwd(x2, n, blocked, alpha, beta, interpret=interp)
+            y4 = y2.reshape(h_, w_, b_, c_)
+            return jnp.transpose(y4, (2, 0, 1, 3)).astype(x.dtype)
         y2d = _pallas_fwd(x.reshape(-1, c), n, blocked, alpha, beta, interpret=interp)
         return y2d.reshape(x.shape).astype(x.dtype)
     # XLA path: no reshape, no materialized cast — the f32 math happens in
@@ -462,11 +491,18 @@ def _lrn_bwd_vjp(add_scale, pow_scale, frac, blocked, backend, x, g):
     beta = float(pow_scale)
     if _use_pallas(backend, c):
         interp = jax.default_backend() == "cpu"
-        if x.ndim == 4 and not blocked:
+        if x.ndim == 4 and not blocked and not _prefer_2d(c):
             xt = jnp.transpose(x, (1, 2, 3, 0))
             gt = jnp.transpose(g.astype(x.dtype), (1, 2, 3, 0))
             dxt = _pallas_t(True, (gt, xt), n, alpha, beta, interp)
             return (jnp.transpose(dxt, (3, 0, 1, 2)).astype(x.dtype),)
+        if x.ndim == 4 and not blocked:
+            b_, h_, w_, c_ = x.shape
+            x2 = jnp.transpose(x, (1, 2, 0, 3)).reshape(-1, c)
+            g2 = jnp.transpose(g.astype(x.dtype), (1, 2, 0, 3)).reshape(-1, c)
+            dx2 = _pallas_bwd(g2, x2, n, blocked, alpha, beta, interpret=interp)
+            dx4 = dx2.reshape(h_, w_, b_, c_)
+            return (jnp.transpose(dx4, (2, 0, 1, 3)).astype(x.dtype),)
         x2d = x.reshape(-1, c)
         g2d = g.reshape(-1, c).astype(x2d.dtype)
         dx2d = _pallas_bwd(g2d, x2d, n, blocked, alpha, beta, interpret=interp)
