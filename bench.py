@@ -67,9 +67,10 @@ def main(batch=None, steps=None):
     raw = size + 32
     graph = build_graph(model, {"input": size})
 
-    # 512 won the round-2 sweep (tools/tpu_sweep.py: 9894/11378/11861
-    # img/s at 128/256/512 bf16; 1024 fails to compile on v5e-1)
-    batch = batch or int(os.environ.get("BENCH_BATCH", "512"))
+    # 1024 won the round-2 sweep: 14090/14319/14294 img/s at 768/1024/
+    # 2048 vs 13633 at 512 (fixed per-step costs — optimizer master-
+    # weight traffic, weight-grad convs' setup — amortize with batch)
+    batch = batch or int(os.environ.get("BENCH_BATCH", "1024"))
     steps = steps or int(os.environ.get("BENCH_STEPS", "20"))
     jitter = {
         "input": (
@@ -172,9 +173,9 @@ def _watchdog_main():
     # (batch, steps, attempt_timeout): first full-size, then shrink so a
     # slow/flaky tunnel still produces a real measurement. Explicit
     # BENCH_BATCH/BENCH_STEPS pin every attempt to the requested size.
-    ladder = [(512, 20, 420), (512, 20, 420), (256, 10, 300), (64, 5, 240)]
+    ladder = [(1024, 20, 420), (1024, 20, 420), (512, 10, 300), (64, 5, 240)]
     if "BENCH_BATCH" in os.environ or "BENCH_STEPS" in os.environ:
-        b = int(os.environ.get("BENCH_BATCH", "512"))
+        b = int(os.environ.get("BENCH_BATCH", "1024"))
         s = int(os.environ.get("BENCH_STEPS", "20"))
         ladder = [(b, s, t) for _, _, t in ladder]
     probe_timeout = int(os.environ.get("BENCH_PROBE_TIMEOUT_S", "120"))
