@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from convnet_tpu.graph import ET, INIT, LOSS, EdgeSpec, Graph
+from convnet_tpu.graph import ACT, ET, INIT, LOSS, EdgeSpec, Graph
 from convnet_tpu.ops import losses as losses_ops
 from convnet_tpu.ops.activations import apply_activation
 from convnet_tpu.ops.conv import conv2d, conv_onetoone, fc
@@ -138,7 +138,10 @@ def init_params(graph: Graph, seed: Optional[int] = None) -> Params:
 # ---------------------------------------------------------------------------
 
 
-def _edge_fprop(graph: Graph, e: EdgeSpec, p: Optional[Dict], x: jax.Array, cdt):
+def _edge_fprop(
+    graph: Graph, e: EdgeSpec, p: Optional[Dict], x: jax.Array, cdt,
+    fuse_relu: bool = False,
+):
     t = e.edge_type
     # weighted edges return compute_dtype when set (pure-bf16 chain: the
     # epilogue and next edge consume it, cotangents stay bf16 too); the
@@ -165,6 +168,7 @@ def _edge_fprop(graph: Graph, e: EdgeSpec, p: Optional[Dict], x: jax.Array, cdt)
             e.pow_scale,
             e.frac_of_filters_response_norm,
             e.response_norm_blocked,
+            fuse_relu=fuse_relu,
         )
     if t == ET.UPSAMPLE:
         return upsample(x, e.sample_factor)
@@ -197,6 +201,7 @@ def apply_fn(
     adt = jnp.bfloat16 if graph.activation_dtype == "bfloat16" else None
     store_dt = adt if adt is not None else (jnp.float32 if cdt is not None else None)
     acts: Dict[str, jax.Array] = {}
+    preacts: Dict[str, jax.Array] = {}  # pre-ReLU values for LRN fusion
     out: Dict[str, jax.Array] = {}
     want = set(return_layers) if return_layers is not None else None
 
@@ -224,6 +229,19 @@ def apply_fn(
                         f"no parameters for edge {e.name!r} — checkpoint/params "
                         f"provide {sorted(params)} (wrong checkpoint for this model?)"
                     )
+                # ReLU+LRN fusion: feed the response-norm edge the
+                # source's PRE-activation and apply the ReLU inside the
+                # kernel — the relu output then never materializes in
+                # HBM (its VJP residual is the conv output that already
+                # exists). See response_norm_cross_map(fuse_relu=...).
+                src = _edge_fprop
+                x_in = acts[e.source]
+                fuse = (
+                    e.edge_type == ET.RESPONSE_NORM
+                    and e.source in preacts
+                )
+                if fuse:
+                    x_in = preacts[e.source]
                 if graph.remat and train and e.has_weights:
                     # rematerialize: recompute this edge's output in the
                     # backward pass instead of storing it (Model.remat;
@@ -231,9 +249,9 @@ def apply_fn(
                     fprop = jax.checkpoint(
                         lambda pp, xx, _e=e: _edge_fprop(graph, _e, pp, xx, cdt)
                     )
-                    contrib = fprop(p, acts[e.source])
+                    contrib = fprop(p, x_in)
                 else:
-                    contrib = _edge_fprop(graph, e, p, acts[e.source], cdt)
+                    contrib = _edge_fprop(graph, e, p, x_in, cdt, fuse_relu=fuse)
                 z = contrib if z is None else z + contrib
             if l.is_output:
                 # losses and output activations run in >= f32
@@ -242,6 +260,12 @@ def apply_fn(
                 z = z.astype(jnp.promote_types(z.dtype, jnp.float32))
                 out[f"{name}:preact"] = z.reshape(z.shape[0], -1)
             a = apply_activation(z, l.activation)
+            if (
+                l.activation == ACT.RECTIFIED_LINEAR
+                and not l.is_output
+                and l.dropprob == 0.0
+            ):
+                preacts[name] = z
             if train and l.dropprob > 0.0:
                 if dropout_rng is None:
                     raise ValueError("train=True with dropout needs dropout_rng")

@@ -124,21 +124,31 @@ def _neg_pow(d, p: float):
     return out
 
 
-def _fwd_math(x, n, blocked, c, alpha, beta):
+def _fwd_math(x, n, blocked, c, alpha, beta, relu=False):
     """Forward on an (M, C) f32 tile; returns y."""
+    if relu:
+        x = jnp.maximum(x, 0.0)
     s = _window_sum(x * x, n, blocked, c)
     d = 1.0 + alpha * s
     return x * _neg_pow(d, beta)
 
 
-def _bwd_math(g, x, n, blocked, c, alpha, beta):
-    """Backward on (M, C) f32 tiles; recomputes d from x, returns dx."""
+def _bwd_math(g, x, n, blocked, c, alpha, beta, relu=False):
+    """Backward on (M, C) f32 tiles; recomputes d from x, returns dx.
+    With relu, x is the PRE-activation z: the window math runs on
+    max(z,0) and the returned cotangent is masked by (z > 0)."""
+    z = x
+    if relu:
+        x = jnp.maximum(x, 0.0)
     s = _window_sum(x * x, n, blocked, c)
     d = 1.0 + alpha * s
     pb = _neg_pow(d, beta)          # d^-beta
     dpow = pb / d                   # d^-(beta+1)
     inner = _window_sum(g * x * dpow, n, blocked, c, transpose=True)
-    return g * pb - 2.0 * alpha * beta * x * inner
+    dx = g * pb - 2.0 * alpha * beta * x * inner
+    if relu:
+        dx = jnp.where(z > 0.0, dx, 0.0)
+    return dx
 
 
 # ---------------------------------------------------------------------------
@@ -171,21 +181,27 @@ def _mm_window(v, bmat_ref, transpose: bool, f32_exact: bool):
     )
 
 
-def _lrn_fwd_kernel(x_ref, bmat_ref, y_ref, *, alpha, beta, f32_exact):
+def _lrn_fwd_kernel(x_ref, bmat_ref, y_ref, *, alpha, beta, f32_exact, relu):
     x = x_ref[:].astype(jnp.float32)
+    if relu:
+        x = jnp.maximum(x, 0.0)
     s = _mm_window(x * x, bmat_ref, False, f32_exact)
     d = 1.0 + alpha * s
     y_ref[:] = (x * _neg_pow(d, beta)).astype(y_ref.dtype)
 
 
-def _lrn_bwd_kernel(g_ref, x_ref, bmat_ref, dx_ref, *, alpha, beta, f32_exact):
+def _lrn_bwd_kernel(g_ref, x_ref, bmat_ref, dx_ref, *, alpha, beta, f32_exact, relu):
     g = g_ref[:].astype(jnp.float32)
-    x = x_ref[:].astype(jnp.float32)
+    z = x_ref[:].astype(jnp.float32)
+    x = jnp.maximum(z, 0.0) if relu else z
     s = _mm_window(x * x, bmat_ref, False, f32_exact)
     d = 1.0 + alpha * s
     pb = _neg_pow(d, beta)  # d^-beta
     inner = _mm_window(g * x * (pb / d), bmat_ref, True, f32_exact)
-    dx_ref[:] = (g * pb - 2.0 * alpha * beta * x * inner).astype(dx_ref.dtype)
+    dx = g * pb - 2.0 * alpha * beta * x * inner
+    if relu:
+        dx = jnp.where(z > 0.0, dx, 0.0)
+    dx_ref[:] = dx.astype(dx_ref.dtype)
 
 
 def _fold_factor(m: int, c: int, dtype) -> int:
@@ -243,7 +259,7 @@ def _bmat_spec(c):
     return pl.BlockSpec((c, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
 
 
-def _pallas_fwd(x2d, n, blocked, alpha, beta, interpret):
+def _pallas_fwd(x2d, n, blocked, alpha, beta, interpret, relu=False):
     m0, c0 = x2d.shape
     fold = _fold_factor(m0, c0, x2d.dtype)
     m, c = m0 // fold, c0 * fold
@@ -251,7 +267,7 @@ def _pallas_fwd(x2d, n, blocked, alpha, beta, interpret):
     tile_m = _pick_tile(m, c)
     f32_exact = x2d.dtype == jnp.float32
     kernel = functools.partial(
-        _lrn_fwd_kernel, alpha=alpha, beta=beta, f32_exact=f32_exact
+        _lrn_fwd_kernel, alpha=alpha, beta=beta, f32_exact=f32_exact, relu=relu
     )
     y = pl.pallas_call(
         kernel,
@@ -274,7 +290,7 @@ def _pallas_fwd(x2d, n, blocked, alpha, beta, interpret):
     return y.reshape(m0, c0)
 
 
-def _pallas_bwd(g2d, x2d, n, blocked, alpha, beta, interpret):
+def _pallas_bwd(g2d, x2d, n, blocked, alpha, beta, interpret, relu=False):
     m0, c0 = x2d.shape
     fold = _fold_factor(m0, c0, x2d.dtype)
     m, c = m0 // fold, c0 * fold
@@ -283,7 +299,7 @@ def _pallas_bwd(g2d, x2d, n, blocked, alpha, beta, interpret):
     tile_m = _pick_tile(m, c)
     f32_exact = x2d.dtype == jnp.float32
     kernel = functools.partial(
-        _lrn_bwd_kernel, alpha=alpha, beta=beta, f32_exact=f32_exact
+        _lrn_bwd_kernel, alpha=alpha, beta=beta, f32_exact=f32_exact, relu=relu
     )
     dx = pl.pallas_call(
         kernel,
@@ -335,19 +351,25 @@ def _window_sum_mid(v, n: int, c: int, transpose: bool = False):
     return s
 
 
-def _lrn_fwd_kernel_t(x_ref, y_ref, *, n, c, alpha, beta):
+def _lrn_fwd_kernel_t(x_ref, y_ref, *, n, c, alpha, beta, relu):
     x = x_ref[:].astype(jnp.float32)
+    if relu:
+        x = jnp.maximum(x, 0.0)
     d = 1.0 + alpha * _window_sum_mid(x * x, n, c)
     y_ref[:] = (x * _neg_pow(d, beta)).astype(y_ref.dtype)
 
 
-def _lrn_bwd_kernel_t(g_ref, x_ref, dx_ref, *, n, c, alpha, beta):
+def _lrn_bwd_kernel_t(g_ref, x_ref, dx_ref, *, n, c, alpha, beta, relu):
     g = g_ref[:].astype(jnp.float32)
-    x = x_ref[:].astype(jnp.float32)
+    z = x_ref[:].astype(jnp.float32)
+    x = jnp.maximum(z, 0.0) if relu else z
     d = 1.0 + alpha * _window_sum_mid(x * x, n, c)
     pb = _neg_pow(d, beta)
     inner = _window_sum_mid(g * x * (pb / d), n, c, transpose=True)
-    dx_ref[:] = (g * pb - 2.0 * alpha * beta * x * inner).astype(dx_ref.dtype)
+    dx = g * pb - 2.0 * alpha * beta * x * inner
+    if relu:
+        dx = jnp.where(z > 0.0, dx, 0.0)
+    dx_ref[:] = dx.astype(dx_ref.dtype)
 
 
 def _pick_tile_t(m: int, c: int, b: int) -> int:
@@ -361,7 +383,7 @@ def _pick_tile_t(m: int, c: int, b: int) -> int:
     return best or min(cap, m)
 
 
-def _pallas_t(call_bwd, arrays, n, alpha, beta, interpret):
+def _pallas_t(call_bwd, arrays, n, alpha, beta, interpret, relu=False):
     """Shared driver for the transposed kernels. arrays: (x,) or (g, x),
     each (H, W, C, B)."""
     h, w, c, b = arrays[0].shape
@@ -371,7 +393,7 @@ def _pallas_t(call_bwd, arrays, n, alpha, beta, interpret):
     spec = pl.BlockSpec((tile_m, c, b), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     kernel = functools.partial(
         _lrn_bwd_kernel_t if call_bwd else _lrn_fwd_kernel_t,
-        n=n, c=c, alpha=alpha, beta=beta,
+        n=n, c=c, alpha=alpha, beta=beta, relu=relu,
     )
     out = pl.pallas_call(
         kernel,
@@ -434,7 +456,7 @@ def _use_pallas(backend: str, c: int) -> bool:
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5, 6))
 def response_norm_cross_map(
     x: jax.Array,
     add_scale: float,
@@ -442,16 +464,28 @@ def response_norm_cross_map(
     frac_of_filters: float,
     blocked: bool = False,
     backend: str = "auto",
+    fuse_relu: bool = False,
 ) -> jax.Array:
     """y = x * (1 + (add_scale/n) * window_sum(x^2))^(-pow_scale) over the
     channel (last) axis. x: (..., C). backend: "auto" | "pallas" | "xla".
 
+    fuse_relu: treat x as the PRE-activation and apply max(x, 0) inside
+    the kernel (fwd) / mask the cotangent by x > 0 (bwd). Fusing the
+    producing layer's ReLU here means the relu output is never
+    materialized in HBM: the VJP residual is the conv output that
+    already exists, which removes a full activation write+read (and the
+    double-layout materialization XLA emits for relu outputs consumed
+    by both the norm and its own backward — measured ~5 ms/step on
+    AlexNet batch 1024).
+
     I/O keeps x's dtype (bf16 activations stream at half the HBM cost);
     internal math is always f32."""
-    return _lrn_fwd(x, add_scale, pow_scale, frac_of_filters, blocked, backend)
+    return _lrn_fwd(
+        x, add_scale, pow_scale, frac_of_filters, blocked, backend, fuse_relu
+    )
 
 
-def _lrn_fwd(x, add_scale, pow_scale, frac, blocked, backend):
+def _lrn_fwd(x, add_scale, pow_scale, frac, blocked, backend, relu=False):
     c = x.shape[-1]
     n = norm_window_size(c, frac)
     alpha = add_scale / n
@@ -460,31 +494,33 @@ def _lrn_fwd(x, add_scale, pow_scale, frac, blocked, backend):
         interp = jax.default_backend() == "cpu"  # tests force backend="pallas"
         if x.ndim == 4 and not blocked and not _prefer_2d(c):
             xt = jnp.transpose(x, (1, 2, 3, 0))
-            yt = _pallas_t(False, (xt,), n, alpha, beta, interp)
+            yt = _pallas_t(False, (xt,), n, alpha, beta, interp, relu=relu)
             return jnp.transpose(yt, (3, 0, 1, 2)).astype(x.dtype)
         if x.ndim == 4 and not blocked:
             # (H, W, B, C) view: for C-minor activations ({3,0,2,1}, what
             # XLA picks for lane-aligned C) this permutation is a bitcast
             b_, h_, w_, c_ = x.shape
             x2 = jnp.transpose(x, (1, 2, 0, 3)).reshape(-1, c)
-            y2 = _pallas_fwd(x2, n, blocked, alpha, beta, interpret=interp)
+            y2 = _pallas_fwd(x2, n, blocked, alpha, beta, interpret=interp, relu=relu)
             y4 = y2.reshape(h_, w_, b_, c_)
             return jnp.transpose(y4, (2, 0, 1, 3)).astype(x.dtype)
-        y2d = _pallas_fwd(x.reshape(-1, c), n, blocked, alpha, beta, interpret=interp)
+        y2d = _pallas_fwd(
+            x.reshape(-1, c), n, blocked, alpha, beta, interpret=interp, relu=relu
+        )
         return y2d.reshape(x.shape).astype(x.dtype)
     # XLA path: no reshape, no materialized cast — the f32 math happens in
     # registers inside whatever fusion/layout XLA picks for the neighbors,
     # so this form composes with zero boundary copies.
-    y = _fwd_math(x.astype(jnp.float32), n, blocked, c, alpha, beta)
+    y = _fwd_math(x.astype(jnp.float32), n, blocked, c, alpha, beta, relu=relu)
     return y.astype(x.dtype)
 
 
-def _lrn_fwd_vjp(x, add_scale, pow_scale, frac, blocked, backend):
-    y = _lrn_fwd(x, add_scale, pow_scale, frac, blocked, backend)
+def _lrn_fwd_vjp(x, add_scale, pow_scale, frac, blocked, backend, fuse_relu=False):
+    y = _lrn_fwd(x, add_scale, pow_scale, frac, blocked, backend, fuse_relu)
     return y, x  # d is recomputed in the bwd kernel — no HBM residual
 
 
-def _lrn_bwd_vjp(add_scale, pow_scale, frac, blocked, backend, x, g):
+def _lrn_bwd_vjp(add_scale, pow_scale, frac, blocked, backend, fuse_relu, x, g):
     c = x.shape[-1]
     n = norm_window_size(c, frac)
     alpha = add_scale / n
@@ -494,21 +530,26 @@ def _lrn_bwd_vjp(add_scale, pow_scale, frac, blocked, backend, x, g):
         if x.ndim == 4 and not blocked and not _prefer_2d(c):
             xt = jnp.transpose(x, (1, 2, 3, 0))
             gt = jnp.transpose(g.astype(x.dtype), (1, 2, 3, 0))
-            dxt = _pallas_t(True, (gt, xt), n, alpha, beta, interp)
+            dxt = _pallas_t(True, (gt, xt), n, alpha, beta, interp, relu=fuse_relu)
             return (jnp.transpose(dxt, (3, 0, 1, 2)).astype(x.dtype),)
         if x.ndim == 4 and not blocked:
             b_, h_, w_, c_ = x.shape
             x2 = jnp.transpose(x, (1, 2, 0, 3)).reshape(-1, c)
             g2 = jnp.transpose(g.astype(x.dtype), (1, 2, 0, 3)).reshape(-1, c)
-            dx2 = _pallas_bwd(g2, x2, n, blocked, alpha, beta, interpret=interp)
+            dx2 = _pallas_bwd(
+                g2, x2, n, blocked, alpha, beta, interpret=interp, relu=fuse_relu
+            )
             dx4 = dx2.reshape(h_, w_, b_, c_)
             return (jnp.transpose(dx4, (2, 0, 1, 3)).astype(x.dtype),)
         x2d = x.reshape(-1, c)
         g2d = g.reshape(-1, c).astype(x2d.dtype)
-        dx2d = _pallas_bwd(g2d, x2d, n, blocked, alpha, beta, interpret=interp)
+        dx2d = _pallas_bwd(
+            g2d, x2d, n, blocked, alpha, beta, interpret=interp, relu=fuse_relu
+        )
         return (dx2d.reshape(x.shape).astype(x.dtype),)
     dx = _bwd_math(
-        g.astype(jnp.float32), x.astype(jnp.float32), n, blocked, c, alpha, beta
+        g.astype(jnp.float32), x.astype(jnp.float32), n, blocked, c, alpha, beta,
+        relu=fuse_relu,
     )
     return (dx.astype(x.dtype),)
 

@@ -310,3 +310,96 @@ def test_conv_small_cin_im2col_matches_conv():
         g_ref = jax.grad(lambda a, b: (ref(a, b) ** 2).sum(), argnums=(0, 1))(x, w)
         for go, gr in zip(g_ours, g_ref):
             np.testing.assert_allclose(np.asarray(go), np.asarray(gr), rtol=1e-5, atol=1e-4)
+
+
+@pytest.mark.parametrize("backend", ["xla", "pallas"])
+@pytest.mark.parametrize("c", [96, 128])
+def test_lrn_fuse_relu_matches_composed(backend, c):
+    """lrn(x, fuse_relu=True) must equal lrn(relu(x)) in value and VJP —
+    c=96 exercises the transposed kernel form, c=128 the folded-2D form
+    (interpret mode on CPU; `make test-tpu` compiles them)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from convnet_tpu.ops.lrn import response_norm_cross_map
+
+    rng = np.random.RandomState(0)
+    z = jnp.asarray(rng.randn(2, 3, 3, c).astype(np.float32))
+    g = jnp.asarray(rng.randn(2, 3, 3, c).astype(np.float32))
+    args = (0.001, 0.75, 5.0 / c, False, backend)
+
+    fused, vjp_f = jax.vjp(
+        lambda a: response_norm_cross_map(a, *args, fuse_relu=True), z
+    )
+    composed, vjp_c = jax.vjp(
+        lambda a: response_norm_cross_map(jnp.maximum(a, 0.0), *args), z
+    )
+    np.testing.assert_allclose(
+        np.asarray(fused), np.asarray(composed), rtol=1e-6, atol=1e-6
+    )
+    (dz_f,) = vjp_f(g)
+    (dz_c,) = vjp_c(g)
+    np.testing.assert_allclose(
+        np.asarray(dz_f), np.asarray(dz_c), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_model_relu_lrn_fusion_matches_eager_compose():
+    """A conv->relu->rnorm graph must produce the same activations and
+    gradients whether or not the ReLU fuses into the LRN kernel (the
+    fusion triggers automatically in apply_fn when the source layer is
+    RECTIFIED_LINEAR)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from convnet_tpu import config, model as model_lib
+    from convnet_tpu.graph import build_graph
+    from convnet_tpu.ops.lrn import response_norm_reference
+
+    g = build_graph(config.parse_model(
+        """
+        name: "f"
+        layer { name: "input" is_input: true num_channels: 3 image_size: 6 }
+        layer { name: "c1" num_channels: 16 activation: RECTIFIED_LINEAR }
+        layer { name: "r1" num_channels: 16 }
+        layer { name: "output" is_output: true num_channels: 4 activation: SOFTMAX data_field: "labels" }
+        edge { source: "input" dest: "c1" edge_type: CONV kernel_size: 3 stride: 1 padding: 1
+               initialization: DENSE_GAUSSIAN init_wt: 0.3 }
+        edge { source: "c1" dest: "r1" edge_type: RESPONSE_NORM add_scale: 0.002 pow_scale: 0.75
+               frac_of_filters_response_norm: 0.3 }
+        edge { source: "r1" dest: "output" edge_type: FC initialization: DENSE_GAUSSIAN_SQRT_FAN_IN init_wt: 1.0 }
+        """
+    ))
+    params = model_lib.init_params(g, seed=0)
+    rng = np.random.RandomState(1)
+    batch = {
+        "input": jnp.asarray(rng.randn(4, 6, 6, 3).astype(np.float32)),
+        "labels": jnp.asarray(rng.randint(0, 4, 4)),
+    }
+    out = model_lib.apply_fn(g, params, batch, return_layers=["c1", "r1"])
+    relu = np.asarray(out["c1"])
+    want = response_norm_reference(jnp.asarray(relu), 0.002, 0.75, 0.3)
+    np.testing.assert_allclose(
+        np.asarray(out["r1"]), np.asarray(want), rtol=1e-5, atol=1e-6
+    )
+    # gradient flows through the fused kernel without NaNs and matches
+    # finite differences at one coordinate
+    def loss(p):
+        return model_lib.loss_fn(g, p, batch, train=False)[0]
+
+    grads = jax.grad(loss)(params)
+    gw = np.asarray(grads["input:c1"]["w"])
+    assert np.isfinite(gw).all()
+    host = jax.tree.map(lambda a: np.array(a), params)
+    eps = 1e-3
+    w = host["input:c1"]["w"]
+    orig = w[0, 0, 0, 0]
+    w[0, 0, 0, 0] = orig + eps
+    lp = float(loss(jax.tree.map(jnp.asarray, host)))
+    w[0, 0, 0, 0] = orig - eps
+    lm = float(loss(jax.tree.map(jnp.asarray, host)))
+    w[0, 0, 0, 0] = orig
+    num = (lp - lm) / (2 * eps)
+    assert abs(num - gw[0, 0, 0, 0]) < 2e-3 * max(1.0, abs(num)), (num, gw[0, 0, 0, 0])
