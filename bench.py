@@ -81,11 +81,22 @@ def main(batch=None, steps=None):
     }
     step = make_train_step(graph, jitter)
     state = init_state(graph)
-    rng = np.random.RandomState(0)
-    data = {
-        "input": jax.device_put(rng.randint(0, 256, (batch, raw, raw, 3), dtype=np.uint8)),
-        "labels": jax.device_put(rng.randint(0, 1000, (batch,), dtype=np.int32)),
-    }
+    # synthetic batch generated ON DEVICE: shipping ~300 MB of host
+    # random data through the axon tunnel both dominated bench wall
+    # time and was the biggest transient-hang surface
+    import jax.numpy as jnp
+
+    @jax.jit
+    def make_data(key):
+        ki, kl = jax.random.split(key)
+        return {
+            "input": jax.random.randint(
+                ki, (batch, raw, raw, 3), 0, 256, dtype=jnp.int32
+            ).astype(jnp.uint8),
+            "labels": jax.random.randint(kl, (batch,), 0, 1000, dtype=jnp.int32),
+        }
+
+    data = make_data(jax.random.PRNGKey(0))
 
     # warmup / compile (device_get forces a real sync: on the axon
     # platform block_until_ready returns before execution finishes)
@@ -164,21 +175,41 @@ def _probe(timeout_s):
     return ok
 
 
+def _debug(msg):
+    """Append watchdog diagnostics to a file that survives the run —
+    the driver captures only the JSON line, so transient failures
+    (probe timeouts, attempt kills) are otherwise invisible."""
+    path = os.environ.get("BENCH_DEBUG_LOG", "/tmp/bench_debug.log")
+    try:
+        with open(path, "a") as f:
+            f.write(f"[{time.strftime('%H:%M:%S')}] {msg}\n")
+    except OSError:
+        pass
+
+
 def _watchdog_main():
     """Budgeted staged runner: probe -> measure, shrinking on retry."""
     budget = int(os.environ.get("BENCH_TIMEOUT_S", "900"))
     deadline = time.monotonic() + budget
     me = os.path.abspath(__file__)
+    _debug(f"=== bench start, budget={budget}s")
 
     # (batch, steps, attempt_timeout): first full-size, then shrink so a
     # slow/flaky tunnel still produces a real measurement. Explicit
     # BENCH_BATCH/BENCH_STEPS pin every attempt to the requested size.
-    ladder = [(1024, 20, 420), (1024, 20, 420), (512, 10, 300), (64, 5, 240)]
+    # One generous first attempt, then shrink. Killing a timed-out
+    # attempt mid-compile can wedge the chip claim for minutes (the
+    # axon failure mode), so a second full-size attempt right after a
+    # kill mostly burns budget — give the first attempt room instead.
+    ladder = [(1024, 20, 600), (512, 10, 300), (64, 5, 240)]
     if "BENCH_BATCH" in os.environ or "BENCH_STEPS" in os.environ:
         b = int(os.environ.get("BENCH_BATCH", "1024"))
         s = int(os.environ.get("BENCH_STEPS", "20"))
         ladder = [(b, s, t) for _, _, t in ladder]
-    probe_timeout = int(os.environ.get("BENCH_PROBE_TIMEOUT_S", "120"))
+    # first probe waits out the axon claim-release latency (minutes
+    # after a prior process exits — killing and re-probing loses the
+    # wait already invested); later probes stay short
+    probe_timeout = int(os.environ.get("BENCH_PROBE_TIMEOUT_S", "240"))
     backoff = 20.0
     attempt = 0
     last_err = "no attempts made"
@@ -186,6 +217,8 @@ def _watchdog_main():
         remaining = deadline - time.monotonic()
         if not _probe(min(probe_timeout, int(remaining))):
             last_err = "device probe failed (TPU tunnel wedged?)"
+            _debug(f"probe FAILED, {remaining:.0f}s left, backoff={backoff}")
+            probe_timeout = 120
             sleep_s = min(backoff, max(0.0, deadline - time.monotonic() - probe_timeout))
             if sleep_s <= 0:
                 break
@@ -198,6 +231,7 @@ def _watchdog_main():
         if t < 60:
             last_err = "budget exhausted after probe"
             break
+        _debug(f"attempt {attempt} starting: batch={batch} steps={steps} timeout={t}s")
         env = dict(os.environ, BENCH_BATCH=str(batch), BENCH_STEPS=str(steps))
         proc = subprocess.Popen(
             [sys.executable, me, "--inner"],
@@ -220,11 +254,14 @@ def _watchdog_main():
             rc = None
         lines = [l for l in (out or "").splitlines() if l.startswith("{")]
         if rc == 0 and lines:
+            _debug(f"attempt {attempt} (batch={batch}) OK: {lines[-1]}")
             print(lines[-1])
             return
         last_err = f"attempt {attempt} (batch={batch}) rc={rc}: {(err or '')[-400:]}"
+        _debug(f"attempt FAILED: {last_err}")
         sys.stderr.write(f"bench: {last_err}\n")
 
+    _debug(f"giving up: {last_err}")
     sys.stderr.write(f"bench failed: {last_err}\n")
     print(
         json.dumps(
