@@ -417,7 +417,7 @@ def _pallas_t(call_bwd, arrays, n, alpha, beta, interpret, relu=False):
 _PALLAS_MAX_C = 1024
 
 
-def _prefer_2d(c: int) -> bool:
+def _prefer_2d(c: int, b: int) -> bool:
     """Choose the kernel *form* by the layout XLA gives the activation.
 
     Lane-aligned channel counts (C % 128 == 0) get C-minor activations
@@ -426,8 +426,12 @@ def _prefer_2d(c: int) -> bool:
     boundary transposes become bitcasts (measured: the transposed-form
     kernel on rnorm2 C=256 pays 4 x 0.58 ms of relayout copies the 2D
     form avoids). Non-aligned C (e.g. 96) gets batch-minor {0,3,2,1},
-    matching the transposed (H, W, C, B) form. CONVNET_LRN_FORM
-    overrides ("t" | "2d") for A/B on new shapes."""
+    matching the transposed (H, W, C, B) form — but that form puts B on
+    the lane axis, so it requires a lane-aligned batch (B % 128 == 0):
+    compiled Mosaic at partial lanes produced wrong window sums at
+    B=4 (caught by a TPU run of the fusion equivalence test), while
+    the folded-2D form is shape-robust. CONVNET_LRN_FORM overrides
+    ("t" | "2d") for A/B on new shapes."""
     import os
 
     form = os.environ.get("CONVNET_LRN_FORM", "auto")
@@ -435,7 +439,7 @@ def _prefer_2d(c: int) -> bool:
         return False
     if form == "2d":
         return True
-    return c % 128 == 0
+    return c % 128 == 0 or b % 128 != 0
 
 
 def _use_pallas(backend: str, c: int) -> bool:
@@ -492,7 +496,7 @@ def _lrn_fwd(x, add_scale, pow_scale, frac, blocked, backend, relu=False):
     beta = float(pow_scale)
     if _use_pallas(backend, c):
         interp = jax.default_backend() == "cpu"  # tests force backend="pallas"
-        if x.ndim == 4 and not blocked and not _prefer_2d(c):
+        if x.ndim == 4 and not blocked and not _prefer_2d(c, x.shape[0]):
             xt = jnp.transpose(x, (1, 2, 3, 0))
             yt = _pallas_t(False, (xt,), n, alpha, beta, interp, relu=relu)
             return jnp.transpose(yt, (3, 0, 1, 2)).astype(x.dtype)
@@ -527,7 +531,7 @@ def _lrn_bwd_vjp(add_scale, pow_scale, frac, blocked, backend, fuse_relu, x, g):
     beta = float(pow_scale)
     if _use_pallas(backend, c):
         interp = jax.default_backend() == "cpu"
-        if x.ndim == 4 and not blocked and not _prefer_2d(c):
+        if x.ndim == 4 and not blocked and not _prefer_2d(c, x.shape[0]):
             xt = jnp.transpose(x, (1, 2, 3, 0))
             gt = jnp.transpose(g.astype(x.dtype), (1, 2, 3, 0))
             dxt = _pallas_t(True, (gt, xt), n, alpha, beta, interp, relu=fuse_relu)
