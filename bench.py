@@ -9,13 +9,13 @@ comparison point is the XLA-conv roofline BASELINE.json names: measured
 images/sec divided by the bf16-peak-FLOPs-derived bound for this chip
 (~3x forward FLOPs per train step). 1.0 would be speed-of-light.
 
-Resilience: the axon TPU tunnel can wedge (backend init hangs
-indefinitely — BASELINE.md notes). The outer runner therefore
-(1) pre-flight-probes the device in a short-timeout subprocess with
-backoff before spending the budget on a full attempt, and (2) walks a
-shrink-on-retry ladder (fewer steps, smaller batch) so *some* real
-number lands even on a flaky tunnel. Children are SIGTERMed before
-SIGKILL so the axon client can release its chip claim.
+Resilience: axon chip-claim acquisition can stall for minutes after
+any other process releases the chip, and killed waiters lose their
+queue position — so the outer runner makes ONE full-size attempt that
+owns nearly the whole budget (the inner process shrinks its own
+measured step count to fit BENCH_DEADLINE_TS) plus one tiny cached
+fallback. Children are SIGTERMed before SIGKILL so the axon client
+can release its claim; diagnostics append to /tmp/bench_debug.log.
 """
 
 import json
@@ -104,6 +104,18 @@ def main(batch=None, steps=None):
         state, metrics = step(state, data)
     float(metrics["loss"])
 
+    # deadline awareness: chip-claim acquisition can eat minutes of the
+    # watchdog budget before we ever get here, so shrink the measured
+    # step count to what still fits instead of being killed mid-run
+    deadline_ts = float(os.environ.get("BENCH_DEADLINE_TS", "0"))
+    if deadline_ts:
+        t0 = time.perf_counter()
+        state, metrics = step(state, data)
+        float(metrics["loss"])
+        per_step = time.perf_counter() - t0
+        left = deadline_ts - time.time() - 10.0  # sync + print margin
+        steps = max(3, min(steps, int(left / max(per_step, 1e-3))))
+
     t0 = time.perf_counter()
     for _ in range(steps):
         state, metrics = step(state, data)
@@ -134,47 +146,6 @@ def main(batch=None, steps=None):
 # resilient outer runner
 # ---------------------------------------------------------------------------
 
-_PROBE_SRC = (
-    "import jax, jax.numpy as jnp;"
-    "d = jax.devices();"
-    "y = jnp.ones((128,128)) @ jnp.ones((128,128));"
-    "print('PROBE_OK', d[0].platform, float(y[0,0]))"
-)
-
-
-def _run_child(argv, timeout_s):
-    """Run a child, SIGTERM at timeout (axon claim release), SIGKILL 10s
-    later. Returns (rc, stdout, stderr); rc None means timed out."""
-    proc = subprocess.Popen(
-        argv, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
-        start_new_session=True,
-    )
-    try:
-        out, err = proc.communicate(timeout=timeout_s)
-        return proc.returncode, out, err
-    except subprocess.TimeoutExpired:
-        try:
-            os.killpg(proc.pid, signal.SIGTERM)
-            out, err = proc.communicate(timeout=10)
-        except (subprocess.TimeoutExpired, ProcessLookupError):
-            try:
-                os.killpg(proc.pid, signal.SIGKILL)
-            except ProcessLookupError:
-                pass
-            out, err = proc.communicate()
-        return None, out, err
-
-
-def _probe(timeout_s):
-    rc, out, err = _run_child([sys.executable, "-c", _PROBE_SRC], timeout_s)
-    ok = rc == 0 and "PROBE_OK" in out
-    if not ok:
-        sys.stderr.write(
-            f"bench probe: rc={rc} out={out.strip()[-200:]} err={err.strip()[-300:]}\n"
-        )
-    return ok
-
-
 def _debug(msg):
     """Append watchdog diagnostics to a file that survives the run —
     the driver captures only the JSON line, so transient failures
@@ -188,51 +159,43 @@ def _debug(msg):
 
 
 def _watchdog_main():
-    """Budgeted staged runner: probe -> measure, shrinking on retry."""
+    """Budgeted runner.
+
+    Empirically (debug log, 2026-08-17): axon chip-claim acquisition
+    after another process exits can stall 9+ minutes; a pre-flight
+    probe doubles the number of claims and each killed prober loses
+    its place, so probing is strictly counterproductive. Instead: ONE
+    full-size attempt that owns nearly the whole budget, whose inner
+    process shrinks its own measured step count to fit the deadline
+    (BENCH_DEADLINE_TS), plus one small cached fallback."""
     budget = int(os.environ.get("BENCH_TIMEOUT_S", "900"))
     deadline = time.monotonic() + budget
     me = os.path.abspath(__file__)
     _debug(f"=== bench start, budget={budget}s")
 
-    # (batch, steps, attempt_timeout): first full-size, then shrink so a
-    # slow/flaky tunnel still produces a real measurement. Explicit
-    # BENCH_BATCH/BENCH_STEPS pin every attempt to the requested size.
-    # One generous first attempt, then shrink. Killing a timed-out
-    # attempt mid-compile can wedge the chip claim for minutes (the
-    # axon failure mode), so a second full-size attempt right after a
-    # kill mostly burns budget — give the first attempt room instead.
-    ladder = [(1024, 20, 600), (512, 10, 300), (64, 5, 240)]
+    # (batch, steps, reserve): reserve = budget to leave for later
+    # attempts. The last attempt is tiny and cache-warm.
+    ladder = [(1024, 20, 120), (64, 5, 0)]
     if "BENCH_BATCH" in os.environ or "BENCH_STEPS" in os.environ:
         b = int(os.environ.get("BENCH_BATCH", "1024"))
         s = int(os.environ.get("BENCH_STEPS", "20"))
-        ladder = [(b, s, t) for _, _, t in ladder]
-    # first probe waits out the axon claim-release latency (minutes
-    # after a prior process exits — killing and re-probing loses the
-    # wait already invested); later probes stay short
-    probe_timeout = int(os.environ.get("BENCH_PROBE_TIMEOUT_S", "240"))
-    backoff = 20.0
+        ladder = [(b, s, r) for _, _, r in ladder]
     attempt = 0
     last_err = "no attempts made"
-    while time.monotonic() < deadline - 30:
-        remaining = deadline - time.monotonic()
-        if not _probe(min(probe_timeout, int(remaining))):
-            last_err = "device probe failed (TPU tunnel wedged?)"
-            _debug(f"probe FAILED, {remaining:.0f}s left, backoff={backoff}")
-            probe_timeout = 120
-            sleep_s = min(backoff, max(0.0, deadline - time.monotonic() - probe_timeout))
-            if sleep_s <= 0:
-                break
-            time.sleep(sleep_s)
-            backoff = min(backoff * 2, 240)
-            continue
-        batch, steps, t = ladder[min(attempt, len(ladder) - 1)]
+    while time.monotonic() < deadline - 30 and attempt < len(ladder):
+        batch, steps, reserve = ladder[attempt]
         attempt += 1
-        t = min(t, int(deadline - time.monotonic()))
+        t = int(deadline - time.monotonic() - reserve)
         if t < 60:
-            last_err = "budget exhausted after probe"
+            last_err = "budget exhausted"
             break
         _debug(f"attempt {attempt} starting: batch={batch} steps={steps} timeout={t}s")
-        env = dict(os.environ, BENCH_BATCH=str(batch), BENCH_STEPS=str(steps))
+        env = dict(
+            os.environ,
+            BENCH_BATCH=str(batch),
+            BENCH_STEPS=str(steps),
+            BENCH_DEADLINE_TS=str(time.time() + t - 15),
+        )
         proc = subprocess.Popen(
             [sys.executable, me, "--inner"],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
