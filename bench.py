@@ -175,7 +175,7 @@ def _watchdog_main():
 
     # (batch, steps, reserve): reserve = budget to leave for later
     # attempts. The last attempt is tiny and cache-warm.
-    ladder = [(1024, 20, 120), (64, 5, 0)]
+    ladder = [(1024, 20, 100), (64, 5, 0)]
     if "BENCH_BATCH" in os.environ or "BENCH_STEPS" in os.environ:
         b = int(os.environ.get("BENCH_BATCH", "1024"))
         s = int(os.environ.get("BENCH_STEPS", "20"))
