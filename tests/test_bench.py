@@ -1,0 +1,48 @@
+"""Smoke-test the benchmark's inner measurement path (bench.py).
+
+The driver runs bench.py unattended at round end; a Python-level
+regression there silently costs the round's headline number. These run
+main() in-process on the CPU backend (conftest forces it) at a tiny
+config.
+"""
+
+import json
+import os
+import sys
+
+import pytest
+
+
+@pytest.fixture()
+def bench_module():
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import bench
+
+    return bench
+
+
+def test_inner_main_prints_json(bench_module, capsys, monkeypatch):
+    monkeypatch.setenv("BENCH_IMAGE_SIZE", "67")
+    out = _run(bench_module, capsys, batch=4, steps=2)
+    assert out["metric"] == "alexnet_train_images_per_sec_per_chip"
+    assert out["value"] > 0
+    assert out["unit"] == "images/sec"
+    assert 0 <= out["vs_baseline"] < 10  # rounds to 0.0 at smoke scale
+
+
+def test_inner_deadline_shrinks_steps(bench_module, capsys, monkeypatch):
+    """With an almost-elapsed deadline the inner still lands a
+    measurement (>=3 steps) instead of running past it."""
+    import time
+
+    monkeypatch.setenv("BENCH_IMAGE_SIZE", "67")
+    monkeypatch.setenv("BENCH_DEADLINE_TS", str(time.time() + 5))
+    out = _run(bench_module, capsys, batch=4, steps=1000)
+    assert out["value"] > 0
+
+
+def _run(bench_module, capsys, batch, steps):
+    bench_module.main(batch=batch, steps=steps)
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    assert lines, "no JSON line printed"
+    return json.loads(lines[-1])
