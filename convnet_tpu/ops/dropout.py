@@ -4,12 +4,15 @@ Reference counterpart: the dropout mask RNG in Matrix/Layer
 (src/matrix.cc, src/layer.cc [U]) — the reference draws a fresh mask per
 step on the GPU and applies `x * mask / keep`.
 
-TPU-first design: the mask is never stored. Forward seeds the per-core
-hardware PRNG from the (step- and layer-folded) key and draws the mask;
-backward re-seeds identically and recomputes it — so the VJP carries NO
-residual (the threefry path in round 1 stored a full-size bool mask per
-dropout layer). On CPU/GPU (tests, fallback) the same recompute trick
-runs through `jax.random.bernoulli` with the same key in fwd and bwd.
+TPU-first design: the mask is never stored. Both backends draw the
+mask from the key alone in BOTH forward and backward, so the VJP
+carries NO residual (round 1 stored a full-size bool mask per dropout
+layer). The default path is `jax.random.bernoulli` (threefry) inside
+the jit — measured at parity with the Pallas hardware-PRNG kernel on
+v5e (BASELINE.md) and free of its ~150s Mosaic compile. The Pallas
+kernel (per-core `pltpu.prng_seed` from the folded key, fwd and bwd
+re-seeding identically) stays behind CONVNET_DROPOUT_BACKEND=pallas
+for memory-bound configs and is hardware-validated by `make test-tpu`.
 
 The two backends draw different (but equally valid) masks; determinism
 holds within a backend: same key -> same mask, and fwd/bwd masks always
