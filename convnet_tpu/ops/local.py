@@ -12,7 +12,6 @@ reference hand-writes (localDown/localOutp [U]).
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 from jax import lax
 
 from convnet_tpu.ops.conv import ceil_mode_padding, matmul_precision
