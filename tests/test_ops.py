@@ -446,3 +446,33 @@ def test_lrn_transposed_form_lane_aligned_batch():
     np.testing.assert_allclose(
         np.asarray(vjp_f(g)[0]), np.asarray(vjp_c(g)[0]), rtol=1e-4, atol=1e-5
     )
+
+
+def test_maxpool_undo_reference_semantics():
+    """The comparison-form MaxPoolUndo oracle: equals autodiff of
+    reduce_window on tie-free inputs; credits EVERY tied max (the
+    cuda-convnet convention) where select-and-scatter picks one."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from convnet_tpu.ops.pool import maxpool2d, maxpool2d_undo_reference
+
+    # tie-free random input: both conventions agree
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 7, 7, 3).astype(np.float32))
+    g = jnp.asarray(rng.randn(2, 3, 3, 3).astype(np.float32))
+    y, vjp = jax.vjp(lambda a: maxpool2d(a, kernel=3, stride=2), x)
+    (dx_ss,) = vjp(g)
+    dx_ref = maxpool2d_undo_reference(x, y, g, kernel=3, stride=2)
+    np.testing.assert_allclose(np.asarray(dx_ref), np.asarray(dx_ss), rtol=1e-6)
+
+    # all-equal window (post-ReLU zeros scenario): reference credits all
+    # window members; select-and-scatter credits exactly one
+    xz = jnp.zeros((1, 2, 2, 1), jnp.float32)
+    gz = jnp.ones((1, 1, 1, 1), jnp.float32)
+    yz, vjpz = jax.vjp(lambda a: maxpool2d(a, kernel=2, stride=2), xz)
+    (dz_ss,) = vjpz(gz)
+    dz_ref = maxpool2d_undo_reference(xz, yz, gz, kernel=2, stride=2)
+    assert float(jnp.sum(dz_ss)) == 1.0       # single winner
+    np.testing.assert_array_equal(np.asarray(dz_ref), np.ones((1, 2, 2, 1)))
