@@ -2,7 +2,12 @@
 headline AlexNet train step. Run on the real chip to pick bench.py's
 configuration; prints one JSON line per variant.
 
-    python tools/tpu_sweep.py [--steps 20] [--batches 128,256,512]
+    python tools/tpu_sweep.py [--steps 20] [--batches 512,1024,2048]
+
+Round-2 sweep results (v5e-1, bf16): 13633@512, 14319@1024 (winner),
+14294@2048 after the per-C LRN form + fused-ReLU kernels. Other knobs
+worth sweeping on new hardware: CONVNET_LRN_BACKEND / CONVNET_LRN_FORM
+/ CONVNET_DROPOUT_BACKEND (set in the environment before launching).
 """
 
 from __future__ import annotations
@@ -45,12 +50,21 @@ def time_variant(batch, dtype, steps):
     step = make_train_step(graph, jitter)
     state = init_state(graph)
     rng = np.random.RandomState(0)
-    data = {
-        "input": jax.device_put(
-            rng.randint(0, 256, (batch, 256, 256, 3), dtype=np.uint8)
-        ),
-        "labels": jax.device_put(rng.randint(0, 1000, (batch,), dtype=np.int32)),
-    }
+    # on-device data: shipping ~300 MB through the tunnel dominates
+    # sweep wall time (same rationale as bench.py)
+    import jax.numpy as jnp
+
+    @jax.jit
+    def make_data(key):
+        ki, kl = jax.random.split(key)
+        return {
+            "input": jax.random.randint(
+                ki, (batch, 256, 256, 3), 0, 256, dtype=jnp.int32
+            ).astype(jnp.uint8),
+            "labels": jax.random.randint(kl, (batch,), 0, 1000, dtype=jnp.int32),
+        }
+
+    data = make_data(jax.random.PRNGKey(0))
     for _ in range(3):
         state, m = step(state, data)
     float(m["loss"])  # real sync (axon block_until_ready is a no-op)
@@ -71,7 +85,7 @@ def time_variant(batch, dtype, steps):
 def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--steps", type=int, default=20)
-    p.add_argument("--batches", default="128,256,512")
+    p.add_argument("--batches", default="512,1024,2048")
     p.add_argument("--dtypes", default="bfloat16,float32")
     args = p.parse_args()
     for batch, dtype in itertools.product(
