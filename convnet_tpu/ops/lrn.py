@@ -124,6 +124,34 @@ def _neg_pow(d, p: float):
     return out
 
 
+def _neg_pow_pair(d, p: float):
+    """(d^-p, d^-(p+1)) for d > 0 with minimal special-unit ops.
+
+    The backward pass needs both; computing the second as pb/d costs a
+    divide (the slowest VPU special op) and _neg_pow(p+1) would pay a
+    second rsqrt. For quarter-integer p both powers are mul-chains of
+    qr = d^(-1/4) (one rsqrt + one sqrt total): p=0.75 (the
+    cuda-convnet default) gives pb = qr^3 and dpow = qr^7."""
+    q = round(4 * p)
+    if abs(4 * p - q) > 1e-9 or not (0 < q <= 16):
+        pb = _neg_pow(d, p)
+        return pb, pb / d
+    qr = jnp.sqrt(jax.lax.rsqrt(d))  # d^-(1/4)
+    powers = {1: qr}
+
+    def power(k):
+        if k in powers:
+            return powers[k]
+        half = power(k // 2)
+        r = half * half
+        if k % 2:
+            r = r * qr
+        powers[k] = r
+        return r
+
+    return power(q), power(q + 4)
+
+
 def _fwd_math(x, n, blocked, c, alpha, beta, relu=False):
     """Forward on an (M, C) f32 tile; returns y."""
     if relu:
@@ -142,8 +170,7 @@ def _bwd_math(g, x, n, blocked, c, alpha, beta, relu=False):
         x = jnp.maximum(x, 0.0)
     s = _window_sum(x * x, n, blocked, c)
     d = 1.0 + alpha * s
-    pb = _neg_pow(d, beta)          # d^-beta
-    dpow = pb / d                   # d^-(beta+1)
+    pb, dpow = _neg_pow_pair(d, beta)  # d^-beta, d^-(beta+1)
     inner = _window_sum(g * x * dpow, n, blocked, c, transpose=True)
     dx = g * pb - 2.0 * alpha * beta * x * inner
     if relu:
@@ -196,8 +223,8 @@ def _lrn_bwd_kernel(g_ref, x_ref, bmat_ref, dx_ref, *, alpha, beta, f32_exact, r
     x = jnp.maximum(z, 0.0) if relu else z
     s = _mm_window(x * x, bmat_ref, False, f32_exact)
     d = 1.0 + alpha * s
-    pb = _neg_pow(d, beta)  # d^-beta
-    inner = _mm_window(g * x * (pb / d), bmat_ref, True, f32_exact)
+    pb, dpow = _neg_pow_pair(d, beta)
+    inner = _mm_window(g * x * dpow, bmat_ref, True, f32_exact)
     dx = g * pb - 2.0 * alpha * beta * x * inner
     if relu:
         dx = jnp.where(z > 0.0, dx, 0.0)
@@ -364,8 +391,8 @@ def _lrn_bwd_kernel_t(g_ref, x_ref, dx_ref, *, n, c, alpha, beta, relu):
     z = x_ref[:].astype(jnp.float32)
     x = jnp.maximum(z, 0.0) if relu else z
     d = 1.0 + alpha * _window_sum_mid(x * x, n, c)
-    pb = _neg_pow(d, beta)
-    inner = _window_sum_mid(g * x * (pb / d), n, c, transpose=True)
+    pb, dpow = _neg_pow_pair(d, beta)
+    inner = _window_sum_mid(g * x * dpow, n, c, transpose=True)
     dx = g * pb - 2.0 * alpha * beta * x * inner
     if relu:
         dx = jnp.where(z > 0.0, dx, 0.0)
@@ -406,6 +433,9 @@ def _pallas_t(call_bwd, arrays, n, alpha, beta, interpret, relu=False):
             bytes_accessed=(len(arrs) + 1) * _bytes(arrs[0]),
             transcendentals=0,
         ),
+        compiler_params=None
+        if interpret
+        else pltpu.CompilerParams(dimension_semantics=("parallel",)),
         interpret=interpret,
     )(*arrs)
     return out.reshape(h, w, c, b)
