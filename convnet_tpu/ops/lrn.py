@@ -114,12 +114,12 @@ def _neg_pow(d, p: float):
         out = inv
         for _ in range(k - 1):
             out = out * inv
+    r = jax.lax.rsqrt(d) if rem else None  # shared by both branches
     if rem >= 2:
-        r = jax.lax.rsqrt(d)
         out = r if out is None else out * r
         rem -= 2
     if rem:
-        qr = jnp.sqrt(jax.lax.rsqrt(d))
+        qr = jnp.sqrt(r)
         out = qr if out is None else out * qr
     return out
 
