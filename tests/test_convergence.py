@@ -97,3 +97,85 @@ def test_synthetic_task_converges(tmp_path):
     train_data.close()
     val_data.close()
     assert err < 0.20, f"validation error {err:.3f} (loss {loss:.3f}) — failed to learn"
+
+
+def test_real_digits_converge(tmp_path):
+    """Train on REAL images (sklearn's 8x8 handwritten digits, shipped
+    in-package — the only real dataset available offline) through the
+    full stack: HDF5 shards -> DataHandler -> Trainer -> validate.
+    The reference validated itself exactly this way: train an example
+    config to expected error (SURVEY.md §4.3)."""
+    import numpy as np
+    from sklearn.datasets import load_digits
+
+    from convnet_tpu import config
+    from convnet_tpu.data.datahandler import DataHandler
+    from convnet_tpu.graph import build_graph
+    from convnet_tpu.trainer import Trainer
+
+    d = load_digits()
+    images = (d.images * (255.0 / 16.0)).astype(np.uint8)[..., None]  # (N,8,8,1)
+    labels = d.target.astype(np.int64)
+    rng = np.random.RandomState(0)
+    order = rng.permutation(len(images))
+    tr_idx, va_idx = order[:1500], order[1500:]
+    for name, idx in [("train", tr_idx), ("val", va_idx)]:
+        with h5py.File(str(tmp_path / f"{name}.h5"), "w") as f:
+            f.create_dataset("data", data=images[idx])
+            f.create_dataset("labels", data=labels[idx])
+
+    def data_cfg(split, randomize):
+        return config.parse_dataset_config(
+            f"""
+            name: "{split}"
+            batch_size: 64
+            randomize_cpu: {randomize}
+            pipeline_loads: true
+            data_config {{ layer_name: "input" data_type: HDF5
+                          file_pattern: "{tmp_path / (split + '.h5')}"
+                          dataset_name: "data" image_size: 8
+                          num_colors: 1 scale: 0.00392156862 }}
+            data_config {{ layer_name: "labels" data_type: HDF5
+                          file_pattern: "{tmp_path / (split + '.h5')}"
+                          dataset_name: "labels" }}
+            """
+        )
+
+    model = config.parse_model(
+        """
+        name: "digits"
+        seed: 3
+        batch_size: 64
+        max_iter: 400
+        display_after: 200
+        layer { name: "input" is_input: true num_channels: 1 image_size: 8 }
+        layer { name: "conv1" num_channels: 16 activation: RECTIFIED_LINEAR }
+        layer { name: "pool1" num_channels: 16 }
+        layer { name: "fc1" num_channels: 64 activation: RECTIFIED_LINEAR dropprob: 0.2 }
+        layer { name: "output" is_output: true num_channels: 10 activation: SOFTMAX data_field: "labels" }
+        edge { source: "input" dest: "conv1" edge_type: CONV kernel_size: 3 stride: 1 padding: 1
+               initialization: DENSE_GAUSSIAN init_wt: 0.1
+               weight_optimizer { base_epsilon: 0.05 epsilon_decay: INVERSE_T epsilon_decay_timescale: 300 initial_momentum: 0.9 final_momentum: 0.9 l2_decay: 0.0005 }
+               bias_optimizer { base_epsilon: 0.1 initial_momentum: 0.9 final_momentum: 0.9 } }
+        edge { source: "conv1" dest: "pool1" edge_type: MAXPOOL kernel_size: 2 stride: 2 }
+        edge { source: "pool1" dest: "fc1" edge_type: FC
+               initialization: DENSE_GAUSSIAN_SQRT_FAN_IN init_wt: 1.0
+               weight_optimizer { base_epsilon: 0.05 epsilon_decay: INVERSE_T epsilon_decay_timescale: 300 initial_momentum: 0.9 final_momentum: 0.9 l2_decay: 0.001 }
+               bias_optimizer { base_epsilon: 0.1 initial_momentum: 0.9 final_momentum: 0.9 } }
+        edge { source: "fc1" dest: "output" edge_type: FC
+               initialization: DENSE_GAUSSIAN_SQRT_FAN_IN init_wt: 1.0
+               weight_optimizer { base_epsilon: 0.05 epsilon_decay: INVERSE_T epsilon_decay_timescale: 300 initial_momentum: 0.9 final_momentum: 0.9 l2_decay: 0.001 }
+               bias_optimizer { base_epsilon: 0.1 initial_momentum: 0.9 final_momentum: 0.9 } }
+        """
+    )
+    train = DataHandler(data_cfg("train", "true"), seed=0)
+    val = DataHandler(data_cfg("val", "false"), randomize=False)
+    graph = build_graph(model, train.input_image_sizes())
+    tr = Trainer(graph, train, val, checkpoint_dir=str(tmp_path / "out"),
+                 log_fn=lambda *_: None)
+    tr.train()
+    err, loss = tr.validate()
+    train.close()
+    val.close()
+    # real handwritten digits: a tiny convnet gets well under 10% error
+    assert err < 0.10, f"digits validation error {err:.3f} (loss {loss:.3f})"
