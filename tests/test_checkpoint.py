@@ -212,3 +212,40 @@ def test_resume_from_flat_variant_end_to_end(tmp_path):
     p2, _, step = ckpt.load(path, expected_shapes=param_shapes(graph))
     assert step == 5
     np.testing.assert_array_equal(p2["input:out"]["w"], np.asarray(params["input:out"]["w"]))
+
+
+def test_released_digits_checkpoint_loads_and_classifies():
+    """The SHIPPED pretrained checkpoint (examples/digits/) must load
+    through the public path and classify real digits — this pins the
+    on-disk checkpoint format across rounds with real bytes, and is
+    the rebuild's analog of the reference's released pretrained net."""
+    import os
+
+    import numpy as np
+    from sklearn.datasets import load_digits
+
+    from convnet_tpu import config
+    from convnet_tpu.graph import build_graph
+    from convnet_tpu.predictor import Predictor
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    model = config.read_model(os.path.join(here, "examples/digits/digits.pbtxt"))
+    graph = build_graph(model, {"input": 8})
+
+    d = load_digits()
+    images = (d.images * (255.0 / 16.0)).astype(np.uint8)[..., None]
+    labels = d.target
+    # the released net's held-out split (seed 0, rows 1500:)
+    order = np.random.RandomState(0).permutation(len(images))
+    va = order[1500:]
+    x = images[va].astype(np.float32) * (1.0 / 255.0)
+    p = Predictor.from_checkpoint(
+        graph,
+        os.path.join(here, "examples/digits/digits_pretrained.h5"),
+        batch_size=128,
+    )
+    preds = []
+    for i in range(0, len(va), 128):
+        preds.append(p.predict_labels({"input": x[i : i + 128]}))
+    err = float(np.mean(np.concatenate(preds) != labels[va]))
+    assert err < 0.05, f"released digits net error {err:.3f}"
