@@ -39,11 +39,19 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--output", default=None, help="output HDF5 file")
     p.add_argument("--layers", nargs="+", default=None, help="layer names to dump")
     p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument(
+        "--strict",
+        action="store_true",
+        help="fail on pbtxt fields unknown to the schema instead of "
+        "parsing leniently with a warning",
+    )
     return p
 
 
 def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
+    if args.strict:
+        config.set_strict(True)
     from convnet_tpu.trainer import enable_compilation_cache
 
     enable_compilation_cache()

@@ -166,11 +166,19 @@ def build_argparser():
         help="check in float64 (CPU): required for large-loss models where "
         "f32 finite differences are cancellation-limited",
     )
+    p.add_argument(
+        "--strict",
+        action="store_true",
+        help="fail on pbtxt fields unknown to the schema instead of "
+        "parsing leniently with a warning",
+    )
     return p
 
 
 def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
+    if args.strict:
+        config.set_strict(True)
     if args.x64:
         # f64 lives on CPU: TPU HLO has no f64 select-and-scatter (and
         # round-tripping every finite-difference probe through the chip

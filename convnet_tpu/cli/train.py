@@ -44,11 +44,19 @@ def build_argparser() -> argparse.ArgumentParser:
         default=None,
         help="override Model.parallel.model (unit-sharding ways)",
     )
+    p.add_argument(
+        "--strict",
+        action="store_true",
+        help="fail on pbtxt fields unknown to the schema instead of "
+        "parsing leniently with a warning",
+    )
     return p
 
 
 def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
+    if args.strict:
+        config.set_strict(True)
     from convnet_tpu.trainer import enable_compilation_cache
 
     enable_compilation_cache()

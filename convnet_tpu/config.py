@@ -14,6 +14,16 @@ from google.protobuf import text_format
 
 from convnet_tpu.proto import convnet_config_pb2 as pb
 
+# Flipped by the CLIs' --strict flag (or CONVNET_STRICT_PBTXT=1):
+# unknown fields become hard errors instead of warnings, so schema
+# drift vs real upstream configs is loud (VERDICT.md round-1 #3).
+STRICT = os.environ.get("CONVNET_STRICT_PBTXT", "") == "1"
+
+
+def set_strict(value: bool) -> None:
+    global STRICT
+    STRICT = bool(value)
+
 
 def _parse(text: str, message, lenient: bool):
     """Parse pbtxt. Strict first; when `lenient`, retry accepting unknown
@@ -41,7 +51,7 @@ def _read_pbtxt(path: str, message, lenient: bool = True):
     if not os.path.exists(path):
         raise FileNotFoundError(f"pbtxt not found: {path}")
     with open(path, "r") as f:
-        return _parse(f.read(), message, lenient)
+        return _parse(f.read(), message, lenient and not STRICT)
 
 
 def parse_model(text: str) -> pb.Model:

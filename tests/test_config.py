@@ -176,3 +176,25 @@ def test_gpu_ids_derive_parallel_model(capsys):
         config.parse_model(text + "\nparallel { model: 1 }"), {"input": 4}
     )
     assert g2.parallel_model == 1
+
+
+def test_strict_mode_rejects_unknown_fields(tmp_path):
+    """--strict / CONVNET_STRICT_PBTXT: unknown fields fail loudly
+    instead of the lenient warn-and-continue default."""
+    import pytest
+    from google.protobuf import text_format
+
+    from convnet_tpu import config
+
+    bad = tmp_path / "bad.pbtxt"
+    bad.write_text('name: "m"\nfuture_field_xyz: 3\n'
+                   'layer { name: "input" is_input: true num_channels: 1 image_size: 4 }\n')
+    # lenient default: parses with a warning
+    m = config.read_model(str(bad))
+    assert m.name == "m"
+    config.set_strict(True)
+    try:
+        with pytest.raises(text_format.ParseError):
+            config.read_model(str(bad))
+    finally:
+        config.set_strict(False)
