@@ -140,13 +140,30 @@ class EdgeSpec:
 
     @staticmethod
     def from_proto(p: pb.Edge) -> "EdgeSpec":
+        if p.edge_type in (ET.CONV, ET.LOCAL, ET.MAXPOOL):
+            if p.stride < 1:
+                raise ValueError(
+                    f"edge {p.source}->{p.dest}: stride must be >= 1, got "
+                    f"{p.stride} (the proto default is 1 — remove the field "
+                    "or set a positive value)"
+                )
+            if p.kernel_size < 1:
+                raise ValueError(
+                    f"edge {p.source}->{p.dest}: kernel_size must be >= 1, "
+                    f"got {p.kernel_size}"
+                )
+            if p.padding < 0:
+                raise ValueError(
+                    f"edge {p.source}->{p.dest}: padding must be >= 0, got "
+                    f"{p.padding}"
+                )
         return EdgeSpec(
             source=p.source,
             dest=p.dest,
             edge_type=p.edge_type,
             name=p.name or f"{p.source}:{p.dest}",
             kernel_size=p.kernel_size,
-            stride=max(1, p.stride),
+            stride=p.stride,
             padding=p.padding,
             initialization=p.initialization,
             init_wt=p.init_wt,

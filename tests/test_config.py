@@ -198,3 +198,26 @@ def test_strict_mode_rejects_unknown_fields(tmp_path):
             config.read_model(str(bad))
     finally:
         config.set_strict(False)
+
+
+def test_invalid_edge_geometry_fails_loudly():
+    import pytest
+
+    from convnet_tpu import config
+    from convnet_tpu.graph import build_graph
+
+    tpl = """
+    name: "bad"
+    layer {{ name: "input" is_input: true num_channels: 3 image_size: 8 }}
+    layer {{ name: "c" num_channels: 4 }}
+    layer {{ name: "output" is_output: true num_channels: 2 activation: SOFTMAX data_field: "labels" }}
+    edge {{ source: "input" dest: "c" edge_type: CONV {geom} initialization: DENSE_GAUSSIAN init_wt: 0.1 }}
+    edge {{ source: "c" dest: "output" edge_type: FC initialization: DENSE_GAUSSIAN_SQRT_FAN_IN init_wt: 1.0 }}
+    """
+    for geom, msg in [
+        ("kernel_size: 3 stride: 0 padding: 1", "stride"),
+        ("kernel_size: 0 stride: 1 padding: 1", "kernel_size"),
+        ("kernel_size: 3 stride: 1 padding: -1", "padding"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            build_graph(config.parse_model(tpl.format(geom=geom)))
