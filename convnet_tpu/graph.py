@@ -93,6 +93,12 @@ class LayerSpec:
                 loss = LOSS.CROSS_ENTROPY_BINARY
             else:
                 loss = LOSS.SQUARED_ERROR
+        if not 0.0 <= p.dropprob < 1.0:
+            raise ValueError(
+                f"layer {p.name!r}: dropprob must be in [0, 1), got "
+                f"{p.dropprob} (1.0 would drop everything; the inverted-"
+                "dropout scale 1/(1-p) diverges)"
+            )
         return LayerSpec(
             name=p.name,
             num_channels=p.num_channels,

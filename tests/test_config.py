@@ -221,3 +221,20 @@ def test_invalid_edge_geometry_fails_loudly():
     ]:
         with pytest.raises(ValueError, match=msg):
             build_graph(config.parse_model(tpl.format(geom=geom)))
+
+
+def test_invalid_dropprob_fails_loudly():
+    import pytest
+
+    from convnet_tpu import config
+    from convnet_tpu.graph import build_graph
+
+    with pytest.raises(ValueError, match="dropprob"):
+        build_graph(config.parse_model("""
+        name: "b"
+        layer { name: "input" is_input: true num_channels: 3 image_size: 8 }
+        layer { name: "f" num_channels: 4 dropprob: 1.5 }
+        layer { name: "output" is_output: true num_channels: 2 activation: SOFTMAX data_field: "labels" }
+        edge { source: "input" dest: "f" edge_type: FC initialization: DENSE_GAUSSIAN init_wt: 0.1 }
+        edge { source: "f" dest: "output" edge_type: FC initialization: DENSE_GAUSSIAN_SQRT_FAN_IN init_wt: 1.0 }
+        """))
