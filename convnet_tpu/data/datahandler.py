@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import zlib
 from typing import Dict, Optional, Tuple
 
 import numpy as np
@@ -100,7 +101,12 @@ class DummyStream(Stream):
     def __init__(self, cfg: pb.DataStreamConfig):
         super().__init__(cfg)
         self._n = cfg.dummy_size
-        self._rng = np.random.RandomState(hash(cfg.layer_name) % (2**31))
+        # crc32, not hash(): salted string hashes differ across processes
+        # (PYTHONHASHSEED), which would break cross-process reproducibility
+        # of DUMMY smoke runs
+        self._rng = np.random.RandomState(
+            zlib.crc32(cfg.layer_name.encode()) % (2**31)
+        )
         size = cfg.raw_image_size or cfg.image_size
         if size:
             self._shape = (size, size, cfg.num_colors)

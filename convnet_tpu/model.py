@@ -234,7 +234,6 @@ def apply_fn(
                 # kernel — the relu output then never materializes in
                 # HBM (its VJP residual is the conv output that already
                 # exists). See response_norm_cross_map(fuse_relu=...).
-                src = _edge_fprop
                 x_in = acts[e.source]
                 fuse = (
                     e.edge_type == ET.RESPONSE_NORM

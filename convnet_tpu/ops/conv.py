@@ -166,7 +166,11 @@ def conv2d(
         None if compute_dtype is not None else jnp.promote_types(x.dtype, jnp.float32)
     )
     prec = matmul_precision(compute_dtype)
-    if stride > 1 and cin * stride * stride <= _S2D_MAX_FOLDED_CIN:
+    if stride > 1 and _MIN_CIN <= cin * stride * stride <= _S2D_MAX_FOLDED_CIN:
+        # lower bound: a fold below _MIN_CIN (e.g. stride-2 RGB -> 12)
+        # would hand conv_general_dilated a degenerate-Cin weight-grad —
+        # the compile pathology _MIN_CIN exists to avoid; those fall
+        # through to the im2col route below
         out_h = conv_out_size(x.shape[1], kh, stride, padding)
         out_w = conv_out_size(x.shape[2], kw, stride, padding)
         return _space_to_depth_conv(x, w, stride, out_h, out_w, pad_h, pad_w, pref, prec)

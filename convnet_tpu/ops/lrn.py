@@ -401,7 +401,14 @@ def _lrn_bwd_kernel_t(g_ref, x_ref, dx_ref, *, n, c, alpha, beta, relu):
 
 def _pick_tile_t(m: int, c: int, b: int) -> int:
     """Rows per grid step for the (M, C, B) form; M is a major (untiled)
-    axis so any divisor works — prefer exact coverage, accept ragged."""
+    axis so any divisor works — prefer exact coverage, accept ragged.
+
+    CONVNET_LRN_TILE_T overrides for A/B sweeps on hardware."""
+    import os
+
+    override = os.environ.get("CONVNET_LRN_TILE_T")
+    if override:
+        return int(override)
     cap = max(1, _TILE_BYTES // (4 * c * max(b, 128)))
     best = 0
     for t in range(1, min(cap, m) + 1):

@@ -56,6 +56,15 @@ def mesh_for_graph(graph: Graph, devices: Optional[list] = None) -> Optional[Mes
         data //= 2
     while data * model > len(devices) and model > 1:
         model //= 2
+    if (data, model) != (graph.parallel_data, graph.parallel_model):
+        import warnings
+
+        warnings.warn(
+            f"model requests a {graph.parallel_data}x{graph.parallel_model} "
+            f"mesh but only {len(devices)} device(s) are available — "
+            f"clamped to {data}x{model}",
+            stacklevel=2,
+        )
     if data * model == 1:
         return None
     return make_mesh(data, model, devices)

@@ -99,7 +99,20 @@ class Predictor:
         jittered = set(self._jitter or ())
         padded = {}
         for k, v in batch.items():
-            v = np.asarray(v, self._input_dtype if k in jittered else np.float32)
+            want = self._input_dtype if k in jittered else np.float32
+            v = np.asarray(v)
+            if want == np.uint8 and np.issubdtype(v.dtype, np.floating):
+                # np.uint8 casting silently WRAPS out-of-range floats
+                # (300.0 -> 44, -1.0 -> 255): a client shipping already-
+                # normalized float images to a uint8-compiled Predictor
+                # would get corrupted pixels, so fail loudly instead
+                raise TypeError(
+                    f"input {k!r}: this Predictor was compiled for uint8 "
+                    f"inputs but got {v.dtype}; pass raw 0..255 uint8 "
+                    "images (or build the Predictor with input_dtype="
+                    "float32)"
+                )
+            v = np.asarray(v, want)
             if n < self.batch_size:
                 pad = np.repeat(v[-1:], self.batch_size - n, axis=0)
                 v = np.concatenate([v, pad], axis=0)

@@ -244,7 +244,15 @@ class Trainer:
         if self.model_proto is not None:
             from convnet_tpu.config import model_to_text
 
-            ts = os.path.basename(path).rsplit("_", 1)[-1].removesuffix(".h5")
+            # derive the tag by stripping the model-name prefix, not by
+            # splitting on "_": collision-suffixed names ("<ts>_1.h5")
+            # must keep the full "<ts>_1" so checkpoint_path(dir, name,
+            # tag) still resolves to this file
+            ts = (
+                os.path.basename(path)
+                .removeprefix(f"{self.graph.name}_")
+                .removesuffix(".h5")
+            )
             self.model_proto.timestamp = ts
             self.model_proto.timestamp_history.append(ts)
             with open(

@@ -563,3 +563,28 @@ def test_randomize_gpu_auto_window():
     b = dh.get_batch()
     assert b["input"].shape == (4, 2, 2, 1)
     dh.close()
+
+
+def test_dummy_stream_seed_is_process_stable():
+    """DummyStream data must be identical across processes: seeded by
+    crc32(layer_name), not the per-process-salted hash() (round-2 defect)."""
+    import zlib
+
+    from convnet_tpu import config
+    from convnet_tpu.data.datahandler import DataHandler
+
+    cfg = config.parse_dataset_config(
+        """
+        name: "dummyseed"
+        batch_size: 8
+        pipeline_loads: false
+        data_config { layer_name: "input" data_type: DUMMY image_size: 4 num_colors: 1 dummy_size: 16 }
+        data_config { layer_name: "labels" data_type: DUMMY dummy_size: 16 dummy_num_classes: 10 }
+        """
+    )
+    dh = DataHandler(cfg, randomize=False)
+    got = dh.streams["input"].read_rows(np.arange(16))
+    seed = zlib.crc32(b"input") % (2**31)
+    want = np.random.RandomState(seed).randint(0, 256, (16, 4, 4, 1), dtype=np.uint8)
+    np.testing.assert_array_equal(got, want)
+    dh.close()

@@ -120,3 +120,29 @@ def test_predictor_raw_size_center_crop():
         Predictor(g, params, batch_size=4, jitter=jit, raw_size=4)
     with pytest.raises(ValueError, match="jitter"):
         Predictor(g, params, batch_size=4, raw_size=12)
+
+
+def test_predictor_rejects_float_input_when_compiled_uint8():
+    """A uint8-compiled Predictor must reject float batches instead of
+    silently wrapping out-of-range values (300.0 -> 44)."""
+    import numpy as np
+    import pytest
+
+    from convnet_tpu import config, model as model_lib
+    from convnet_tpu.data.jitter import JitterSpec
+    from convnet_tpu.graph import build_graph
+    from convnet_tpu.predictor import Predictor
+
+    g = build_graph(config.parse_model(
+        """
+        name: "pu8"
+        layer { name: "input" is_input: true num_channels: 3 image_size: 8 }
+        layer { name: "output" is_output: true num_channels: 4 activation: SOFTMAX data_field: "labels" }
+        edge { source: "input" dest: "output" edge_type: FC initialization: DENSE_GAUSSIAN init_wt: 0.1 }
+        """
+    ))
+    params = model_lib.init_params(g)
+    jit = {"input": (JitterSpec(image_size=8, scale=1 / 255), None, None)}
+    p = Predictor(g, params, batch_size=4, jitter=jit, raw_size=12, input_dtype=np.uint8)
+    with pytest.raises(TypeError, match="uint8"):
+        p({"input": np.random.rand(4, 12, 12, 3).astype(np.float32)})
