@@ -448,13 +448,132 @@ def _pallas_t(call_bwd, arrays, n, alpha, beta, interpret, relu=False):
     return out.reshape(h, w, c, b)
 
 
+# ---------------------------------------------------------------------------
+# Rows-2D ("r2d") kernels: the (H, W, C, B) batch-minor bytes viewed as a
+# 2D array (H*W*C, B).
+#
+# Same zero-copy boundary property as the transposed form (the reshape
+# from the conv emitters' {0,3,2,1} physical layout is a bitcast), but
+# the channel window runs along ROWS, so the window sum becomes a LEFT
+# matmul by a block-banded constant kron(I_k, band_C) — MXU work instead
+# of the t-form's VPU sublane shifts. Measured on v5e (round 3): the
+# t-form bwd ran ~1.5x over the Pallas DMA floor because its VPU shift
+# chain doesn't hide under the DMA; the banded-matmul form (proven on
+# rnorm2's C-minor layout at ~580 GB/s) moves that work to the idle MXU.
+# Tiles are k image-positions = k*C rows, k a divisor of H*W, so tiles
+# never split a channel group and the grid covers M exactly (no ragged
+# masking, no NaN*0 contamination through the matmul).
+# ---------------------------------------------------------------------------
+
+
+def _lrn_fwd_kernel_r(x_ref, bmat_ref, y_ref, *, alpha, beta, relu):
+    x = x_ref[:].astype(jnp.float32)
+    if relu:
+        x = jnp.maximum(x, 0.0)
+    # s = kron(I_k, band) @ v : contract rows
+    s = jax.lax.dot_general(
+        bmat_ref[:], x * x, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    d = 1.0 + alpha * s
+    y_ref[:] = (x * _neg_pow(d, beta)).astype(y_ref.dtype)
+
+
+def _lrn_bwd_kernel_r(g_ref, x_ref, bmat_ref, dx_ref, *, alpha, beta, relu):
+    g = g_ref[:].astype(jnp.float32)
+    z = x_ref[:].astype(jnp.float32)
+    x = jnp.maximum(z, 0.0) if relu else z
+    s = jax.lax.dot_general(
+        bmat_ref[:], x * x, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    d = 1.0 + alpha * s
+    pb, dpow = _neg_pow_pair(d, beta)
+    # transposed window: t_j = sum_i band[i, j] u_i  ==  band^T @ u
+    inner = jax.lax.dot_general(
+        bmat_ref[:], g * x * dpow, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dx = g * pb - 2.0 * alpha * beta * x * inner
+    if relu:
+        dx = jnp.where(z > 0.0, dx, 0.0)
+    dx_ref[:] = dx.astype(dx_ref.dtype)
+
+
+def _pick_k_r(m: int, c: int, b: int, bwd: bool) -> int:
+    """Image positions per grid step for the r2d form.
+
+    Forward: the largest divisor of m whose k*C-row tile stays near the
+    ~1 MB block budget (bigger DMA bursts run closer to HBM speed), ALSO
+    capped so the (k*C)^2 f32 block-band constant stays small VMEM
+    freight — without that cap a small-batch shape once picked k=25 at
+    C=96 and the 23 MB bmat blew the 16 MB scoped limit at compile
+    (v5e, round 3).  Backward: k=1 measured fastest on v5e (5.11 ms vs
+    5.90 at k=5 for rnorm1 @ B=1024) — the bwd kernel runs two banded
+    matmuls plus ~6 tile-sized f32 temporaries, so smaller tiles
+    pipeline better.  CONVNET_LRN_TILE_R / _R_BWD override for sweeps."""
+    import os
+
+    override = os.environ.get("CONVNET_LRN_TILE_R_BWD" if bwd else "CONVNET_LRN_TILE_R")
+    if override:
+        return int(override)
+    if bwd:
+        return 1
+    cap = max(1, _TILE_BYTES // (2 * c * max(b, 128)))  # bf16 block bytes
+    cap = min(cap, max(1, 724 // c))  # (k*C)^2 f32 bmat <= ~2 MB
+    best = 1
+    for k in range(1, min(cap, m) + 1):
+        if m % k == 0:
+            best = k
+    return best
+
+
+@functools.lru_cache(maxsize=64)
+def _block_band(c: int, n: int, blocked: bool, k: int) -> np.ndarray:
+    return np.kron(np.eye(k, dtype=np.float32), _band_matrix(c, n, blocked))
+
+
+def _pallas_r(call_bwd, arrays, n, blocked, alpha, beta, interpret, relu=False):
+    """Driver for the r2d kernels. arrays: (x,) or (g, x), each (H, W, C, B);
+    both the transpose into this layout and the 2D reshape are bitcasts of
+    the batch-minor physical bytes."""
+    h, w, c, b = arrays[0].shape
+    m = h * w
+    k = _pick_k_r(m, c, b, call_bwd)
+    rows = k * c
+    arrs = [a.reshape(m * c, b) for a in arrays]
+    spec = pl.BlockSpec((rows, b), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    bspec = pl.BlockSpec((rows, rows), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    kernel = functools.partial(
+        _lrn_bwd_kernel_r if call_bwd else _lrn_fwd_kernel_r,
+        alpha=alpha, beta=beta, relu=relu,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(m // k,),
+        in_specs=[spec] * len(arrs) + [bspec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((m * c, b), arrs[0].dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * len(arrs) * m * c * rows * b + 14 * m * c * b,
+            bytes_accessed=(len(arrs) + 1) * _bytes(arrs[0]),
+            transcendentals=0,
+        ),
+        compiler_params=None
+        if interpret
+        else pltpu.CompilerParams(dimension_semantics=("parallel",)),
+        interpret=interpret,
+    )(*arrs, jnp.asarray(_block_band(c, n, blocked, k)))
+    return out.reshape(h, w, c, b)
+
+
 # Above this channel count the C x C band matrix stops being "small" VMEM
 # freight (and the O(C) matmul stops beating the O(n) shifted adds) —
 # auto mode falls back to XLA. Real LRN nets use C <= 512.
 _PALLAS_MAX_C = 1024
 
 
-def _prefer_2d(c: int, b: int) -> bool:
+def _pick_form(c: int, b: int) -> str:
     """Choose the kernel *form* by the layout XLA gives the activation.
 
     Lane-aligned channel counts (C % 128 == 0) get C-minor activations
@@ -463,20 +582,23 @@ def _prefer_2d(c: int, b: int) -> bool:
     boundary transposes become bitcasts (measured: the transposed-form
     kernel on rnorm2 C=256 pays 4 x 0.58 ms of relayout copies the 2D
     form avoids). Non-aligned C (e.g. 96) gets batch-minor {0,3,2,1},
-    matching the transposed (H, W, C, B) form — but that form puts B on
-    the lane axis, so it requires a lane-aligned batch (B % 128 == 0):
-    compiled Mosaic at partial lanes produced wrong window sums at
-    B=4 (caught by a TPU run of the fusion equivalence test), while
-    the folded-2D form is shape-robust. CONVNET_LRN_FORM overrides
-    ("t" | "2d") for A/B on new shapes."""
+    matching the zero-copy (H, W, C, B) views: "r2d" (block-banded MXU
+    window sums — round-3 A/B on v5e: bwd 4.32 ms vs the t-form's 7.81,
+    fwd 2.73 vs 5.01 standalone) with "t" (VPU sublane shifts) as the
+    measured-slower fallback. Both put B on the lane axis, so they
+    require a lane-aligned batch (B % 128 == 0): compiled Mosaic at
+    partial lanes produced wrong window sums at B=4 (caught by a TPU
+    run of the fusion equivalence test), while the folded-2D form is
+    shape-robust. CONVNET_LRN_FORM overrides ("t" | "2d" | "r2d") for
+    A/B on new shapes."""
     import os
 
     form = os.environ.get("CONVNET_LRN_FORM", "auto")
-    if form == "t":
-        return False
-    if form == "2d":
-        return True
-    return c % 128 == 0 or b % 128 != 0
+    if form in ("t", "2d", "r2d"):
+        return form
+    if c % 128 == 0 or b % 128 != 0:
+        return "2d"
+    return "r2d"
 
 
 def _use_pallas(backend: str, c: int) -> bool:
@@ -533,7 +655,12 @@ def _lrn_fwd(x, add_scale, pow_scale, frac, blocked, backend, relu=False):
     beta = float(pow_scale)
     if _use_pallas(backend, c):
         interp = jax.default_backend() == "cpu"  # tests force backend="pallas"
-        if x.ndim == 4 and not blocked and not _prefer_2d(c, x.shape[0]):
+        form = _pick_form(c, x.shape[0]) if x.ndim == 4 and not blocked else "2d"
+        if x.ndim == 4 and not blocked and form == "r2d":
+            xt = jnp.transpose(x, (1, 2, 3, 0))
+            yt = _pallas_r(False, (xt,), n, blocked, alpha, beta, interp, relu=relu)
+            return jnp.transpose(yt, (3, 0, 1, 2)).astype(x.dtype)
+        if x.ndim == 4 and not blocked and form == "t":
             xt = jnp.transpose(x, (1, 2, 3, 0))
             yt = _pallas_t(False, (xt,), n, alpha, beta, interp, relu=relu)
             return jnp.transpose(yt, (3, 0, 1, 2)).astype(x.dtype)
@@ -568,7 +695,13 @@ def _lrn_bwd_vjp(add_scale, pow_scale, frac, blocked, backend, fuse_relu, x, g):
     beta = float(pow_scale)
     if _use_pallas(backend, c):
         interp = jax.default_backend() == "cpu"
-        if x.ndim == 4 and not blocked and not _prefer_2d(c, x.shape[0]):
+        form = _pick_form(c, x.shape[0]) if x.ndim == 4 and not blocked else "2d"
+        if x.ndim == 4 and not blocked and form == "r2d":
+            xt = jnp.transpose(x, (1, 2, 3, 0))
+            gt = jnp.transpose(g.astype(x.dtype), (1, 2, 3, 0))
+            dxt = _pallas_r(True, (gt, xt), n, blocked, alpha, beta, interp, relu=fuse_relu)
+            return (jnp.transpose(dxt, (3, 0, 1, 2)).astype(x.dtype),)
+        if x.ndim == 4 and not blocked and form == "t":
             xt = jnp.transpose(x, (1, 2, 3, 0))
             gt = jnp.transpose(g.astype(x.dtype), (1, 2, 3, 0))
             dxt = _pallas_t(True, (gt, xt), n, alpha, beta, interp, relu=fuse_relu)

@@ -476,3 +476,67 @@ def test_maxpool_undo_reference_semantics():
     dz_ref = maxpool2d_undo_reference(xz, yz, gz, kernel=2, stride=2)
     assert float(jnp.sum(dz_ss)) == 1.0       # single winner
     np.testing.assert_array_equal(np.asarray(dz_ref), np.ones((1, 2, 2, 1)))
+
+
+@pytest.mark.parametrize("form", ["2d", "t", "r2d"])
+def test_lrn_all_kernel_forms_match_reference(form, monkeypatch):
+    """Every Pallas kernel form (folded-2D lane kernel, transposed
+    sublane-shift kernel, rows-2D block-banded-matmul kernel) computes
+    the same values and VJP. B=128 / C=96 keeps all three eligible
+    (lane-aligned batch). On TPU (make test-tpu) this compiles each
+    form; on CPU it runs interpret mode."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from convnet_tpu.ops.lrn import (
+        response_norm_cross_map,
+        response_norm_reference,
+    )
+
+    monkeypatch.setenv("CONVNET_LRN_FORM", form)
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(128, 3, 3, 96).astype(np.float32))
+    g = jnp.asarray(rng.randn(128, 3, 3, 96).astype(np.float32))
+    args = (0.001, 0.75, 5.0 / 96, False, "pallas")
+
+    y, vjp = jax.vjp(lambda a: response_norm_cross_map(a, *args), x)
+    want = response_norm_reference(x, 0.001, 0.75, 5.0 / 96)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(want), rtol=1e-5, atol=1e-6)
+    want_dx = jax.grad(
+        lambda a: (response_norm_reference(a, 0.001, 0.75, 5.0 / 96) * g).sum()
+    )(x)
+    (dx,) = vjp(g)
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(want_dx), rtol=1e-4, atol=1e-5)
+
+    # fused-relu variant against composed
+    yf, vjp_f = jax.vjp(lambda a: response_norm_cross_map(a, *args, fuse_relu=True), x)
+    yc, vjp_c = jax.vjp(
+        lambda a: response_norm_cross_map(jnp.maximum(a, 0.0), *args), x
+    )
+    np.testing.assert_allclose(np.asarray(yf), np.asarray(yc), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(vjp_f(g)[0]), np.asarray(vjp_c(g)[0]), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_lrn_r2d_bf16_matches_reference():
+    """The r2d form at the headline dtype (bf16 in/out, f32 math)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from convnet_tpu.ops.lrn import (
+        response_norm_cross_map,
+        response_norm_reference,
+    )
+
+    rng = np.random.RandomState(2)
+    x32 = rng.randn(128, 5, 5, 96).astype(np.float32)
+    x = jnp.asarray(x32).astype(jnp.bfloat16)
+    args = (0.001, 0.75, 5.0 / 96, False, "pallas")
+    y = response_norm_cross_map(x, *args)  # auto form -> r2d at C=96/B=128
+    want = response_norm_reference(jnp.asarray(x.astype(jnp.float32)), 0.001, 0.75, 5.0 / 96)
+    np.testing.assert_allclose(
+        np.asarray(y, np.float32), np.asarray(want), rtol=2e-2, atol=2e-2
+    )
