@@ -53,6 +53,21 @@ def _onehot_crop_flip(x, s, oy, ox, flips):
     return jnp.einsum("bjw,biwc->bijc", oh_cols.astype(jnp.bfloat16), y)
 
 
+def sample_crop_flip(rng, b, h, w, s, can_translate, can_flip):
+    """Sample per-image crop origins and flips — the exact key-derivation
+    order jitter_batch has always used, factored out so the fused Pallas
+    prologue (ops/prologue.py) replays the identical augmentation stream."""
+    flips = None
+    if can_flip:
+        flips = jax.random.bernoulli(jax.random.fold_in(rng, 1), 0.5, (b,))
+    oy = ox = None
+    if can_translate and (h > s or w > s):
+        ky, kx = jax.random.split(jax.random.fold_in(rng, 0))
+        oy = jax.random.randint(ky, (b,), 0, h - s + 1)
+        ox = jax.random.randint(kx, (b,), 0, w - s + 1)
+    return oy, ox, flips
+
+
 def jitter_batch(
     x: jax.Array,
     spec: JitterSpec,
@@ -93,18 +108,15 @@ def jitter_batch(
             x = x / jnp.asarray(std, jnp.float32)
             std = None
 
-    flips = None
-    if train and spec.can_flip:
-        if rng is None:
-            raise ValueError("train jitter needs rng")
-        flips = jax.random.bernoulli(jax.random.fold_in(rng, 1), 0.5, (b,))
+    if train and (spec.can_flip or spec.can_translate) and rng is None:
+        raise ValueError("train jitter needs rng")
+    oy, ox, flips = (
+        sample_crop_flip(rng, b, h, w, s, spec.can_translate, spec.can_flip)
+        if train
+        else (None, None, None)
+    )
 
-    if train and spec.can_translate and (h > s or w > s):
-        if rng is None:
-            raise ValueError("train jitter needs rng")
-        ky, kx = jax.random.split(jax.random.fold_in(rng, 0))
-        oy = jax.random.randint(ky, (b,), 0, h - s + 1)
-        ox = jax.random.randint(kx, (b,), 0, w - s + 1)
+    if oy is not None:
         if x.dtype == jnp.uint8:
             # Per-sample crop + flip as two one-hot batched matmuls: the
             # MXU is idle during augmentation while the vmapped

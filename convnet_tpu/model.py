@@ -213,7 +213,9 @@ def apply_fn(
                 "layer_name / the layer's data_field"
             )
         x = batch[l.data_field]
-        if x.ndim != 4:
+        from convnet_tpu.ops.conv import S2DInput
+
+        if not isinstance(x, S2DInput) and x.ndim != 4:
             raise ValueError(f"input {l.name}: expected NHWC, got shape {x.shape}")
         acts[l.name] = x
 

@@ -12,6 +12,7 @@ Layout: NHWC activations, HWIO weights (TPU-preferred).
 
 from __future__ import annotations
 
+from dataclasses import dataclass
 from typing import Tuple
 
 import jax
@@ -19,6 +20,26 @@ import jax.numpy as jnp
 from jax import lax
 
 from convnet_tpu.graph import conv_out_size
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class S2DInput:
+    """A batch already in space-to-depth form (B, H/s, W/s, s*s*Cin),
+    channel order (row-phase, col-phase, cin) — produced by the fused
+    crop+flip+normalize+s2d prologue (ops/prologue.py) so the strided
+    first conv consumes it without any relayout between the augmentation
+    and the conv."""
+
+    x: jax.Array
+    stride: int
+
+    def tree_flatten(self):
+        return (self.x,), (self.stride,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], aux[0])
 
 
 def matmul_precision(compute_dtype):
@@ -80,6 +101,20 @@ def _im2col_conv(x, w, stride, out_h, out_w, pad_h, pad_w, pref, prec):
     )
 
 
+def _s2d_regroup_weight(w, s):
+    """Regroup (kh, kw, cin, cout) into the stride-1 kernel over the
+    space-to-depth view: (kh/s, kw/s, s*s*cin, cout), channel order
+    (row-phase, col-phase, cin)."""
+    kh, kw, cin, cout = w.shape
+    khp, kwp = -(-kh // s) * s, -(-kw // s) * s
+    w = jnp.pad(w, ((0, khp - kh), (0, kwp - kw), (0, 0), (0, 0)))
+    return (
+        w.reshape(khp // s, s, kwp // s, s, cin, cout)
+        .transpose(0, 2, 1, 3, 4, 5)
+        .reshape(khp // s, kwp // s, s * s * cin, cout)
+    )
+
+
 def _space_to_depth_conv(x, w, stride, out_h, out_w, pad_h, pad_w, pref, prec):
     """Strided conv as a stride-1 conv over a space-to-depth view.
 
@@ -119,12 +154,7 @@ def _space_to_depth_conv(x, w, stride, out_h, out_w, pad_h, pad_w, pref, prec):
         .transpose(0, 1, 3, 2, 4, 5)
         .reshape(b, tgt_h // s, tgt_w // s, s * s * cin)
     )
-    w = jnp.pad(w, ((0, khp - kh), (0, kwp - kw), (0, 0), (0, 0)))
-    w = (
-        w.reshape(khp // s, s, kwp // s, s, cin, cout)
-        .transpose(0, 2, 1, 3, 4, 5)
-        .reshape(khp // s, kwp // s, s * s * cin, cout)
-    )
+    w = _s2d_regroup_weight(w, s)
     return lax.conv_general_dilated(
         x,
         w,
@@ -148,6 +178,26 @@ def conv2d(
     x: (B, H, W, Cin) NHWC; w: (kh, kw, Cin, Cout) HWIO.
     Output spatial size follows `conv_out_size` (ceil mode).
     """
+    if isinstance(x, S2DInput):
+        # pre-space-to-depth'd input from the fused prologue: the crop/
+        # flip/normalize/pad/regroup already happened in one Pallas pass
+        if x.stride != stride:
+            raise ValueError(f"S2D input built for stride {x.stride}, edge has {stride}")
+        xs = x.x
+        if compute_dtype is not None:
+            xs = xs.astype(compute_dtype)
+            w = w.astype(compute_dtype)
+        return lax.conv_general_dilated(
+            xs,
+            _s2d_regroup_weight(w, stride),
+            window_strides=(1, 1),
+            padding=((0, 0), (0, 0)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=None
+            if compute_dtype is not None
+            else jnp.promote_types(xs.dtype, jnp.float32),
+            precision=matmul_precision(compute_dtype),
+        )
     kh, kw = w.shape[0], w.shape[1]
     cin = w.shape[2]
     pad_h = ceil_mode_padding(x.shape[1], kh, stride, padding)

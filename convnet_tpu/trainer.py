@@ -56,8 +56,25 @@ def init_state(graph: Graph, seed: Optional[int] = None) -> TrainState:
     }
 
 
+def _fused_prologue_wanted() -> bool:
+    import os
+
+    mode = os.environ.get("CONVNET_FUSED_PROLOGUE", "auto")
+    if mode in ("0", "1"):
+        return mode == "1"
+    return jax.default_backend() not in ("cpu", "gpu")
+
+
 def _preprocess(graph: Graph, jitter: Optional[JitterMap], batch, rng, train: bool):
-    """Apply the fused on-device jitter prologue to image inputs."""
+    """Apply the fused on-device jitter prologue to image inputs.
+
+    For a uint8 train batch whose input layer feeds a single strided
+    s2d-eligible conv (AlexNet's conv1), the crop/flip/normalize/pad/
+    space-to-depth chain runs as ONE Pallas pass (ops/prologue.py) —
+    the XLA form costs ~4 HBM round-trips of the raw batch in relayout
+    copies. The fused path replays the exact same augmentation stream
+    (same rng derivation via data.jitter.sample_crop_flip) and the same
+    numerics (one-hot bf16 gathers, f32 affine)."""
     if not jitter:
         return {k: v.astype(jnp.float32) if v.dtype == jnp.uint8 else v for k, v in batch.items()}
     out = dict(batch)
@@ -67,7 +84,41 @@ def _preprocess(graph: Graph, jitter: Optional[JitterMap], batch, rng, train: bo
             # crc32, not hash(): stable across processes so a resumed run
             # replays the same augmentation stream
             jrng = jax.random.fold_in(rng, zlib.crc32(field.encode()) & 0x7FFFFFFF)
-        out[field] = jitter_batch(out[field], spec, jrng, train, mean, std)
+        x = out[field]
+        if (
+            train
+            and jrng is not None
+            and x.ndim == 4
+            and x.dtype == jnp.uint8
+            and spec.can_translate
+            and (np.ndim(mean) <= 1 and np.ndim(std) <= 1)
+            and _fused_prologue_wanted()
+        ):
+            from convnet_tpu.data.jitter import sample_crop_flip
+            from convnet_tpu.ops.prologue import fused_crop_s2d, prologue_plan
+
+            layer = next(
+                (l for l in graph.input_layers if l.data_field == field), None
+            )
+            edge = prologue_plan(graph, layer.name) if layer is not None else None
+            if edge is not None:
+                b, h, w = x.shape[0], x.shape[1], x.shape[2]
+                oy, ox, flips = sample_crop_flip(
+                    jrng, b, h, w, spec.image_size, spec.can_translate, spec.can_flip
+                )
+                if oy is not None:
+                    out[field] = fused_crop_s2d(
+                        x, oy, ox, flips,
+                        crop=spec.image_size,
+                        kernel=edge.kernel_size,
+                        stride=edge.stride,
+                        scale=spec.scale,
+                        mean=mean,
+                        std=std,
+                        interpret=jax.default_backend() == "cpu",
+                    )
+                    continue
+        out[field] = jitter_batch(x, spec, jrng, train, mean, std)
     return out
 
 
