@@ -8,11 +8,17 @@ shardings over a Mesh:
 - axis "data": batch dimension of every activation; gradient psum over
   ICI is inserted by XLA because params are replicated along it.
 - axis "model": output-unit dimension of large FC weights (Megatron
-  column-parallel analog of the reference's layer pinning); XLA
-  propagates and inserts all-gather/reduce-scatter at the boundaries.
+  column-parallel analog of the reference's layer pinning) AND the
+  output-channel dimension of large CONV/LOCAL edges — AlexNet's
+  two-tower split (src/multigpu_convnet.cc layer pinning [U]) is
+  literally a channel-halving of conv2-5, so channel-sharding the conv
+  weights reproduces the reference's model split without replicating
+  conv FLOPs across the model axis. XLA propagates the shardings and
+  inserts all-gather/reduce-scatter at the boundaries (e.g. before the
+  cross-map LRN, whose window spans all channels).
 
-Conv weights are replicated: at AlexNet scale they are small relative
-to activations, and replication keeps the conv MXU tiling unconstrained.
+Small edges stay replicated (collective overhead would dominate), as
+does any edge whose output dimension doesn't divide the model axis.
 """
 
 from __future__ import annotations
@@ -29,6 +35,12 @@ from convnet_tpu.graph import ET, Graph
 #: model-sharded; smaller ones are replicated (collective overhead
 #: would dominate).
 MIN_MODEL_SHARD_UNITS = 512
+
+#: CONV / CONV_ONETOONE edges with at least this many output channels
+#: shard those channels over the model axis (the reference's two-tower
+#: conv split); below it the boundary collectives cost more than the
+#: replicated FLOPs.
+MIN_MODEL_SHARD_CONV_CHANNELS = 64
 
 
 def make_mesh(
@@ -74,29 +86,41 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
 
-def _edge_pspec(graph: Graph, edge_name: str, leaf: str) -> P:
+def _edge_pspec(graph: Graph, edge_name: str, leaf: str, n_model: int = 1) -> P:
     e = graph.edge(edge_name)
     dst_c = graph.shapes[e.dest][2]
+    if n_model > 1 and dst_c % n_model:
+        return P()  # output dim doesn't divide the model axis
     if e.edge_type == ET.FC and dst_c >= MIN_MODEL_SHARD_UNITS:
         # column-parallel: shard output units
         return P(None, "model") if leaf == "w" else P("model")
-    if e.edge_type == ET.LOCAL and dst_c >= 64:
+    if e.edge_type == ET.LOCAL and dst_c >= MIN_MODEL_SHARD_CONV_CHANNELS:
         # untied weights are the big tensors (one filter per site:
         # oh*ow*k^2*Cin*Cout) — shard the output-channel axis; the
         # per-site bias (oh, ow, Cout) shards on its last axis too
         if leaf == "w":
             return P(None, None, None, "model")
         return P(None, None, "model") if not e.shared_bias else P("model")
+    if e.edge_type == ET.CONV and dst_c >= MIN_MODEL_SHARD_CONV_CHANNELS:
+        # output-channel split = the reference's two-tower conv pinning:
+        # each model shard computes its own channel slice of the conv
+        # (1/n of the FLOPs), XLA gathers at channel-global consumers
+        if leaf == "w":
+            return P(None, None, None, "model")
+        return P("model") if e.shared_bias else P(None, None, "model")
+    if e.edge_type == ET.CONV_ONETOONE and dst_c >= MIN_MODEL_SHARD_CONV_CHANNELS:
+        return P(None, "model") if leaf == "w" else P("model")
     return P()  # replicated
 
 
 def param_shardings(graph: Graph, mesh: Mesh) -> Dict:
     """NamedSharding pytree matching the params pytree."""
+    n_model = mesh.shape.get("model", 1)
     out = {}
     for e in graph.weighted_edges:
         out[e.name] = {
-            "w": NamedSharding(mesh, _edge_pspec(graph, e.name, "w")),
-            "b": NamedSharding(mesh, _edge_pspec(graph, e.name, "b")),
+            "w": NamedSharding(mesh, _edge_pspec(graph, e.name, "w", n_model)),
+            "b": NamedSharding(mesh, _edge_pspec(graph, e.name, "b", n_model)),
         }
     return out
 
