@@ -540,3 +540,31 @@ def test_lrn_r2d_bf16_matches_reference():
     np.testing.assert_allclose(
         np.asarray(y, np.float32), np.asarray(want), rtol=2e-2, atol=2e-2
     )
+
+
+def test_lrn_2d_ragged_tile_matches_reference():
+    """Odd M (B*H*W = 27) forces _pick_tile's ragged fallback — the
+    partially-occupied last block is exactly the regime where compiled
+    Mosaic once miscompiled while interpret mode passed (the t-form
+    B%128 bug), so this shape runs compiled under `make test-tpu`."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from convnet_tpu.ops.lrn import (
+        response_norm_cross_map,
+        response_norm_reference,
+    )
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(3, 3, 3, 128).astype(np.float32))
+    g = jnp.asarray(rng.randn(3, 3, 3, 128).astype(np.float32))
+    args = (0.001, 0.75, 9.0 / 128, False, "pallas")  # C%128==0 -> 2d form
+    y, vjp = jax.vjp(lambda a: response_norm_cross_map(a, *args), x)
+    want = response_norm_reference(x, 0.001, 0.75, 9.0 / 128)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(want), rtol=1e-5, atol=1e-6)
+    want_dx = jax.grad(
+        lambda a: (response_norm_reference(a, 0.001, 0.75, 9.0 / 128) * g).sum()
+    )(x)
+    (dx,) = vjp(g)
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(want_dx), rtol=1e-4, atol=1e-5)
