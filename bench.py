@@ -47,6 +47,45 @@ def conv_flops_per_image(graph):
     return total
 
 
+def _ensure_bench_cache(n_rows: int, raw: int):
+    """Synthetic RAW_CACHE dataset on disk (written once, ~200 KB/row):
+    the honest input-path variant streams THESE bytes through
+    DataHandler + prefetch instead of generating batches on device."""
+    d = "/tmp/convnet_bench_cache"
+    img = os.path.join(d, f"img_{n_rows}_{raw}.cache")
+    lbl = os.path.join(d, f"lbl_{n_rows}.cache")
+    if not (os.path.exists(img) and os.path.exists(lbl)):
+        from convnet_tpu.data.native import write_raw_cache
+
+        os.makedirs(d, exist_ok=True)
+        rng = np.random.RandomState(42)
+        write_raw_cache(img, rng.randint(0, 256, (n_rows, raw, raw, 3), dtype=np.uint8))
+        write_raw_cache(lbl, rng.randint(0, 1000, (n_rows,)).astype(np.int32))
+    return img, lbl
+
+
+def _rawcache_handler(batch: int, raw: int):
+    from convnet_tpu.data.datahandler import DataHandler
+    from convnet_tpu.proto import convnet_config_pb2 as pb2
+
+    img, lbl = _ensure_bench_cache(max(3 * batch, 3072), raw)
+    ds = pb2.DatasetConfig()
+    ds.batch_size = batch
+    ds.pipeline_loads = True
+    ds.prefetch_depth = 3
+    # production shuffle mode: sequential disk reads + staged window
+    ds.randomize_gpu = True
+    s = ds.data_config.add()
+    s.layer_name = "input"
+    s.data_type = pb2.DataStreamConfig.RAW_CACHE
+    s.file_pattern = img
+    s2 = ds.data_config.add()
+    s2.layer_name = "labels"
+    s2.data_type = pb2.DataStreamConfig.RAW_CACHE
+    s2.file_pattern = lbl
+    return DataHandler(ds)
+
+
 def main(batch=None, steps=None):
     import jax
 
@@ -96,7 +135,20 @@ def main(batch=None, steps=None):
             "labels": jax.random.randint(kl, (batch,), 0, 1000, dtype=jnp.int32),
         }
 
-    data = make_data(jax.random.PRNGKey(0))
+    data_mode = os.environ.get("BENCH_DATA", "synthetic")
+    handler = None
+    if data_mode == "rawcache":
+        # input-path variant (VERDICT r2 missing #4): batches flow
+        # host->device from a memory-mapped RAW_CACHE file through
+        # DataHandler + prefetch, double-buffered against the async
+        # step dispatch. Caveat recorded in BASELINE.md: on this axon
+        # relay, host->device goes through a TCP tunnel, so the number
+        # bounds the TUNNEL, not a real PCIe host.
+        handler = _rawcache_handler(batch, raw)
+        put = lambda b: {k: jax.device_put(v) for k, v in b.items()}
+        data = put(handler.get_batch())
+    else:
+        data = make_data(jax.random.PRNGKey(0))
 
     # warmup / compile (device_get forces a real sync: on the axon
     # platform block_until_ready returns before execution finishes)
@@ -117,12 +169,21 @@ def main(batch=None, steps=None):
         steps = max(3, min(steps, int(left / max(per_step, 1e-3))))
 
     t0 = time.perf_counter()
-    for _ in range(steps):
-        state, metrics = step(state, data)
+    if handler is not None:
+        nxt = data
+        for _ in range(steps):
+            cur = nxt
+            state, metrics = step(state, cur)  # async dispatch...
+            nxt = put(handler.get_batch())  # ...overlaps gather + H2D
+    else:
+        for _ in range(steps):
+            state, metrics = step(state, data)
     final_loss = float(metrics["loss"])
     dt = time.perf_counter() - t0
     assert np.isfinite(final_loss)
     ips = batch * steps / dt
+    if handler is not None:
+        handler.close()
 
     # roofline: train step ~ 3x forward conv/fc FLOPs at bf16 peak
     peaks_tflops = {"tpu": 197.0}  # v5e bf16 peak per chip
@@ -133,7 +194,7 @@ def main(batch=None, steps=None):
     print(
         json.dumps(
             {
-                "metric": METRIC,
+                "metric": METRIC + ("_rawcache" if data_mode == "rawcache" else ""),
                 "value": round(ips, 1),
                 "unit": "images/sec",
                 "vs_baseline": round(ips / roofline_ips, 4),
@@ -234,6 +295,8 @@ def _watchdog_main():
 
 
 if __name__ == "__main__":
+    if "--data=rawcache" in sys.argv:
+        os.environ["BENCH_DATA"] = "rawcache"  # inherited by the inner process
     if "--inner" in sys.argv:
         main()
     else:
