@@ -62,7 +62,12 @@ def _fused_prologue_wanted() -> bool:
     mode = os.environ.get("CONVNET_FUSED_PROLOGUE", "auto")
     if mode in ("0", "1"):
         return mode == "1"
-    return jax.default_backend() not in ("cpu", "gpu")
+    # Measured on v5e (tools/r3_chip1.py, B=1024 AlexNet full step):
+    # the fused prologue LOSES 1.3 ms vs the XLA jitter chain — XLA
+    # already fuses crop+flip+normalize into the s2d relayout it must
+    # emit anyway, and the Pallas pass serializes per-image MXU work
+    # that XLA overlaps. Off by default; "1" opts in for A/B.
+    return False
 
 
 def _preprocess(graph: Graph, jitter: Optional[JitterMap], batch, rng, train: bool):
