@@ -31,6 +31,11 @@ from convnet_tpu.ops import losses as losses_ops
 from convnet_tpu.ops.activations import apply_activation
 from convnet_tpu.ops.conv import conv2d, conv_onetoone, fc
 from convnet_tpu.ops.dropout import dropout as dropout_op
+from convnet_tpu.ops.fused_pool_lrn import (
+    fusion_applicable,
+    lrn_maxpool,
+    pool_lrn_fusion_wanted,
+)
 from convnet_tpu.ops.local import local_conv2d, local_weight_shape
 from convnet_tpu.ops.lrn import response_norm_cross_map
 from convnet_tpu.ops.pool import maxpool2d
@@ -219,12 +224,58 @@ def apply_fn(
             raise ValueError(f"input {l.name}: expected NHWC, got shape {x.shape}")
         acts[l.name] = x
 
+    # LRN->maxpool backward fusion (opt-in, see ops/fused_pool_lrn.py):
+    # an LRN layer whose sole consumer is a maxpool is not materialized
+    # here; the pool's edge emits lrn_maxpool over the LRN's input, whose
+    # custom VJP runs pool-undo + LRN-backward as ONE Pallas pass.
+    fuse_pool_lrn = train and pool_lrn_fusion_wanted()
+    deferred_lrn: Dict[str, Tuple[EdgeSpec, jax.Array, bool]] = {}
+
     drop_i = 0
     for name in graph.topo_layer_order():
         l = graph.layer(name)
         if not l.is_input:
+            inc = graph.incoming(name)
+            consumers = [e2 for e2 in graph.edges if e2.source == name]
+            if (
+                fuse_pool_lrn
+                and len(inc) == 1
+                and inc[0].edge_type == ET.RESPONSE_NORM
+                and l.activation == ACT.LINEAR
+                and l.dropprob == 0.0
+                and not l.is_output
+                and len(consumers) == 1
+                and consumers[0].edge_type == ET.MAXPOOL
+                and want is not None
+                and name not in want
+                and fusion_applicable(
+                    acts[inc[0].source].shape, consumers[0].padding
+                )
+            ):
+                e = inc[0]
+                frelu = e.source in preacts
+                deferred_lrn[name] = (
+                    e, preacts[e.source] if frelu else acts[e.source], frelu
+                )
+                drop_i += 1
+                continue
             z = None
             for e in graph.incoming(name):
+                if e.source in deferred_lrn:
+                    le, x_src, frelu = deferred_lrn[e.source]
+                    contrib = lrn_maxpool(
+                        x_src,
+                        le.add_scale,
+                        le.pow_scale,
+                        le.frac_of_filters_response_norm,
+                        le.response_norm_blocked,
+                        e.kernel_size,
+                        e.stride,
+                        e.padding,
+                        frelu,
+                    )
+                    z = contrib if z is None else z + contrib
+                    continue
                 p = params.get(e.name)
                 if p is None and e.has_weights:
                     raise ValueError(

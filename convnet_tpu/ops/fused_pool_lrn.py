@@ -1,0 +1,374 @@
+"""Fused response-norm -> maxpool with a single-pass fused backward.
+
+Reference counterparts: the ResponseNormEdge + MaxPoolEdge backward
+chain (src/response_norm_edge.* / src/maxpool_edge.* over cuda-convnet
+ResponseNormCrossMapUndo / MaxPoolUndo [U]). In the reference these are
+two kernel launches that communicate through a full-size activation
+gradient in GPU memory; here the pair is one Pallas kernel, so the
+intermediate LRN cotangent (594 MB at AlexNet rnorm1, batch 1024) is
+never written to HBM at all — it lives only as a VMEM tile between the
+two stages. docs/fused_pool_lrn_bwd_design.md has the VMEM accounting
+that shaped the tiling.
+
+Semantics note (documented in PARITY.md): the pool-undo stage uses the
+cuda-convnet comparison form — every input position EQUAL to its
+window's max receives that window's cotangent — not XLA
+select-and-scatter's single first-winner. Post-ReLU zeros tie
+constantly, so the two differ on real data; the comparison form is the
+reference's (kMaxPoolUndo `a == ma` [U]). The fused op therefore uses
+`ops.pool.maxpool2d_undo_reference` as its fallback/oracle on every
+backend, keeping its own semantics backend-independent.
+
+Tiling (backward kernel, r2d batch-minor layout):
+  * all four tensors ride as (rows, B) 2D views of their (H, W, C, B)
+    transposes — bitcasts of the batch-minor physical bytes the conv
+    emitters produce for non-lane-aligned C (see ops/lrn.py r2d notes);
+  * grid = (B/LB lane blocks, H image rows, wsplit row halves): one
+    output tile = wsplit-th of an image row, LB=128 lanes;
+  * the <= ceil(k/s) pool rows feeding output row i arrive as that many
+    block-shifted views of g/m (BlockSpec index maps i//s - v); in-row
+    window overlap is resolved in-VMEM by a repeat+shift gather, with
+    compile-time column masks for taps that fall outside the window;
+  * stage 2 (LRN backward) is the r2d block-banded-matmul form on the
+    VMEM-resident pool cotangent — MXU window sums, divide-free
+    d^-p/d^-(p+1) mul chains (ops/lrn.py), ReLU fused when asked.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from convnet_tpu.ops.lrn import (
+    _band_matrix,
+    _bwd_math,
+    _lrn_fwd,
+    _neg_pow_pair,
+    norm_window_size,
+)
+from convnet_tpu.ops.pool import maxpool2d, maxpool2d_undo_reference
+
+
+# ---------------------------------------------------------------------------
+# Backward kernel
+# ---------------------------------------------------------------------------
+
+
+def _gather_cols(slab, s: int, shift: int, w: int, k: int):
+    """(OW, C, LB) -> (W, C, LB) with out[j] = slab[j//s - shift] where
+    window column v = j//s - shift really covers output column j, zero
+    otherwise. All three invalidity cases are static: v < 0 is the zero
+    prefix, v > OW-1 the zero tail, and the tap falling past the
+    window's right edge (j > s*v + k - 1) depends only on j mod s, so it
+    zeroes whole repeat phases. Static repeat + concat only — no dynamic
+    addressing and no captured constants, Mosaic-friendly."""
+    ow = slab.shape[0]
+    tail = slab.shape[1:]
+    zero_phase = jnp.zeros((ow, 1) + tail, slab.dtype)
+    phases = [
+        slab[:, None] if jm + s * shift <= k - 1 else zero_phase
+        for jm in range(s)
+    ]
+    r = jnp.concatenate(phases, axis=1).reshape((ow * s,) + tail)
+    pre = s * shift
+    if pre:
+        r = jnp.concatenate([jnp.zeros((pre,) + tail, slab.dtype), r], axis=0)
+    if r.shape[0] < w:
+        r = jnp.concatenate(
+            [r, jnp.zeros((w - r.shape[0],) + tail, slab.dtype)], axis=0
+        )
+    return r[:w]
+
+
+def _take_rows(x2d, start, rows: int):
+    """Aligned dynamic row slice of an in-VMEM value."""
+    return lax.dynamic_slice(x2d, (start, 0), (rows, x2d.shape[1]))
+
+
+def _fused_bwd_kernel(
+    *refs,
+    nv: int,
+    h: int,
+    w: int,
+    c: int,
+    lb: int,
+    oh: int,
+    ow: int,
+    k: int,
+    s: int,
+    wsplit: int,
+    kb: int,
+    alpha: float,
+    beta: float,
+    relu: bool,
+):
+    g_refs = refs[:nv]
+    m_refs = refs[nv : 2 * nv]
+    y_ref, z_ref, bmat_ref, dz_ref = refs[2 * nv :]
+    i = pl.program_id(1)
+    h2 = pl.program_id(2)
+    wc = w // wsplit
+
+    y = y_ref[:].reshape(wc, c, lb)
+    glrn = jnp.zeros((wc, c, lb), jnp.float32)
+
+    # ---- stage 1: maxpool undo (comparison form) into VMEM ---------------
+    for v in range(nv):
+        u = i // s - v
+        valid_u = (u >= 0) & (u <= oh - 1) & (s * u + (k - 1) >= i)
+        m_slab = m_refs[v][:].reshape(ow, c, lb)
+        g_slab = g_refs[v][:].reshape(ow, c, lb)
+        for t in range(nv):
+            m_full = _gather_cols(m_slab, s, t, w, k)
+            if wsplit > 1:
+                m_half = _take_rows(
+                    m_full.reshape(w * c, lb), h2 * (wc * c), wc * c
+                ).reshape(wc, c, lb)
+            else:
+                m_half = m_full
+            sel = (y == m_half) & valid_u
+            g_full = _gather_cols(g_slab, s, t, w, k)
+            if wsplit > 1:
+                g_half = _take_rows(
+                    g_full.reshape(w * c, lb), h2 * (wc * c), wc * c
+                ).reshape(wc, c, lb)
+            else:
+                g_half = g_full
+            glrn = glrn + jnp.where(sel, g_half, 0).astype(jnp.float32)
+
+    # ---- stage 2: LRN backward (r2d block-banded matmuls) -----------------
+    g2 = glrn.reshape(wc * c, lb)
+    zb = z_ref[:]
+    rows = kb * c
+    for t in range(wc // kb):
+        sl = slice(t * rows, (t + 1) * rows)
+        z_t = zb[sl].astype(jnp.float32)
+        x = jnp.maximum(z_t, 0.0) if relu else z_t
+        g_t = g2[sl]
+        ssum = lax.dot_general(
+            bmat_ref[:], x * x, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        d = 1.0 + alpha * ssum
+        pb, dpow = _neg_pow_pair(d, beta)
+        inner = lax.dot_general(
+            bmat_ref[:], g_t * x * dpow, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dx = g_t * pb - 2.0 * alpha * beta * x * inner
+        if relu:
+            dx = jnp.where(z_t > 0.0, dx, 0.0)
+        dz_ref[sl] = dx.astype(dz_ref.dtype)
+
+
+@functools.lru_cache(maxsize=64)
+def _stage2_band(c: int, n: int, blocked: bool, kb: int) -> np.ndarray:
+    return np.kron(np.eye(kb, dtype=np.float32), _band_matrix(c, n, blocked))
+
+
+def _pick_wsplit(w: int, c: int, lb: int, itemsize: int) -> int:
+    """Split the y/z/dz row tiles when a full image row exceeds ~0.5 MB —
+    at AlexNet rnorm1 scale (55*96 rows x 128 lanes) the full-row working
+    set (3 row streams + 2*nv pool views, double-buffered, plus gather
+    temporaries) would blow the 16 MB scoped-VMEM limit. Smallest divisor
+    of W that fits, keeping the sub-tile row count 16-aligned (bf16
+    sublane tiling and the aligned in-VMEM dynamic_slice both need it).
+    CONVNET_PLRN_WSPLIT overrides."""
+    override = os.environ.get("CONVNET_PLRN_WSPLIT")
+    if override:
+        return int(override)
+    budget = 1 << 19
+    for d in range(1, w + 1):
+        if w % d:
+            continue
+        wc = w // d
+        if (wc * c * lb * itemsize <= budget or wc == 1) and (wc * c) % 16 == 0:
+            return d
+    return 1
+
+
+def _pick_kb(wc: int, c: int) -> int:
+    """Positions per stage-2 banded matmul: largest divisor of the tile
+    width whose kron(I_kb, band) stays ~1.5 MB f32 VMEM freight."""
+    best = 1
+    for kb in range(1, wc + 1):
+        if wc % kb == 0 and (kb * c) * (kb * c) * 4 <= (3 << 19):
+            best = kb
+    return best
+
+
+def _pallas_fused_bwd(
+    gm, m, y, z, *, n, blocked, alpha, beta, relu, k, s, interpret
+):
+    b, h, w, c = z.shape
+    _, oh, ow, _ = m.shape
+    zt = jnp.transpose(z, (1, 2, 3, 0)).reshape(h * w * c, b)
+    yt = jnp.transpose(y, (1, 2, 3, 0)).reshape(h * w * c, b)
+    mt = jnp.transpose(m, (1, 2, 3, 0)).reshape(oh * ow * c, b)
+    gt = jnp.transpose(gm.astype(m.dtype), (1, 2, 3, 0)).reshape(oh * ow * c, b)
+
+    lb = 128 if (b % 128 == 0 and not interpret) else b
+    wsplit = _pick_wsplit(w, c, lb, z.dtype.itemsize)
+    wc = w // wsplit
+    nv = (k - 1) // s + 1
+    kb = _pick_kb(wc, c)
+    bmat = jnp.asarray(_stage2_band(c, n, blocked, kb))
+
+    row_spec = pl.BlockSpec(
+        (wc * c, lb),
+        lambda jb, i, h2: (i * wsplit + h2, jb),
+        memory_space=pltpu.VMEM,
+    )
+
+    def pool_spec(v):
+        return pl.BlockSpec(
+            (ow * c, lb),
+            lambda jb, i, h2, v=v: (jnp.clip(i // s - v, 0, oh - 1), jb),
+            memory_space=pltpu.VMEM,
+        )
+
+    kernel = functools.partial(
+        _fused_bwd_kernel,
+        nv=nv, h=h, w=w, c=c, lb=lb, oh=oh, ow=ow, k=k, s=s,
+        wsplit=wsplit, kb=kb, alpha=alpha, beta=beta, relu=relu,
+    )
+    dz2 = pl.pallas_call(
+        kernel,
+        grid=(b // lb, h, wsplit),
+        in_specs=[pool_spec(v) for v in range(nv)] * 2
+        + [
+            row_spec,
+            row_spec,
+            pl.BlockSpec(
+                (kb * c, kb * c), lambda jb, i, h2: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=row_spec,
+        out_shape=jax.ShapeDtypeStruct((h * w * c, b), z.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * h * w * c * (kb * c) * b + 10 * nv * nv * h * w * c * b,
+            bytes_accessed=_nbytes(zt) * 3 + _nbytes(mt) * 2 * nv,
+            transcendentals=0,
+        ),
+        compiler_params=None
+        if interpret
+        else pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel")
+        ),
+        interpret=interpret,
+    )(*([gt] * nv + [mt] * nv + [yt, zt, bmat]))
+    return jnp.transpose(dz2.reshape(h, w, c, b), (3, 0, 1, 2))
+
+
+def _nbytes(a):
+    return a.size * a.dtype.itemsize
+
+
+# ---------------------------------------------------------------------------
+# Backend selection + public op
+# ---------------------------------------------------------------------------
+
+
+def _fused_backend(backend: str, shape, pool_padding: int) -> str:
+    """"pallas" | "xla". CONVNET_POOL_LRN_BACKEND overrides for A/B."""
+    mode = os.environ.get("CONVNET_POOL_LRN_BACKEND", backend)
+    if mode == "xla":
+        return "xla"
+    on_host = jax.default_backend() in ("cpu", "gpu")
+    if mode == "pallas":
+        return "pallas"  # tests force this on CPU -> interpret mode
+    # auto: compiled Pallas only on TPU, only for the r2d layout regime
+    # (batch-minor activations: C not lane-aligned, lane-aligned B), with
+    # the low-side-unpadded ceil-mode pools these models use.
+    if len(shape) != 4 or on_host or pool_padding != 0:
+        return "xla"
+    b, h, w, c = shape
+    if c % 128 == 0 or b % 128 != 0 or c > 512 or c % 8 != 0:
+        return "xla"
+    return "pallas"
+
+
+def fusion_applicable(shape, pool_padding: int, backend: str = "auto") -> bool:
+    """Whether the fused Pallas backward will actually engage for this
+    activation shape. model.apply_fn defers an LRN->pool chain ONLY when
+    it does: routing an ineligible chain (e.g. rnorm2's lane-aligned
+    C=256) through lrn_maxpool would swap its tuned Pallas 2D-form LRN
+    backward for the slower composed XLA fallback."""
+    return _fused_backend(backend, tuple(shape), pool_padding) == "pallas"
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5, 6, 7, 8, 9))
+def lrn_maxpool(
+    x: jax.Array,
+    add_scale: float,
+    pow_scale: float,
+    frac_of_filters: float,
+    blocked: bool,
+    pool_kernel: int,
+    pool_stride: int,
+    pool_padding: int = 0,
+    fuse_relu: bool = False,
+    backend: str = "auto",
+) -> jax.Array:
+    """maxpool(response_norm(x)) with a fused single-pass backward.
+
+    Gradient semantics are the reference's comparison-form MaxPoolUndo
+    (ties credit every winner) — NOT select-and-scatter. Forward values
+    are identical either way. `fuse_relu` treats x as the producing
+    layer's pre-activation, exactly as response_norm_cross_map does.
+    """
+    y = _lrn_fwd(
+        x, add_scale, pow_scale, frac_of_filters, blocked, "auto", fuse_relu
+    )
+    return maxpool2d(y, pool_kernel, pool_stride, pool_padding)
+
+
+def _lrn_maxpool_fwd(
+    x, add_scale, pow_scale, frac, blocked, pk, ps, ppad, fuse_relu, backend
+):
+    y = _lrn_fwd(x, add_scale, pow_scale, frac, blocked, "auto", fuse_relu)
+    m = maxpool2d(y, pk, ps, ppad)
+    return m, (x, y, m)
+
+
+def _lrn_maxpool_bwd(
+    add_scale, pow_scale, frac, blocked, pk, ps, ppad, fuse_relu, backend, res, gm
+):
+    x, y, m = res
+    c = x.shape[-1]
+    n = norm_window_size(c, frac)
+    alpha = add_scale / n
+    beta = float(pow_scale)
+    if x.ndim == 4 and _fused_backend(backend, x.shape, ppad) == "pallas":
+        interp = jax.default_backend() == "cpu"
+        dz = _pallas_fused_bwd(
+            gm, m, y, x,
+            n=n, blocked=blocked, alpha=alpha, beta=beta, relu=fuse_relu,
+            k=pk, s=ps, interpret=interp,
+        )
+        return (dz.astype(x.dtype),)
+    g_lrn = maxpool2d_undo_reference(y, m, gm, pk, ps, ppad)
+    dz = _bwd_math(
+        g_lrn.astype(jnp.float32), x.astype(jnp.float32),
+        n, blocked, c, alpha, beta, relu=fuse_relu,
+    )
+    return (dz.astype(x.dtype),)
+
+
+lrn_maxpool.defvjp(_lrn_maxpool_fwd, _lrn_maxpool_bwd)
+
+
+def pool_lrn_fusion_wanted() -> bool:
+    """Whether model.apply_fn should route eligible LRN->maxpool chains
+    through lrn_maxpool. Off by default: the fused backward uses the
+    reference's tie-credits-all-winners gradient, which diverges from
+    the select-and-scatter default wherever post-ReLU zeros tie (see
+    PARITY.md). CONVNET_POOL_LRN_FUSED=1 opts in (the bench A/B path)."""
+    return os.environ.get("CONVNET_POOL_LRN_FUSED", "0") == "1"

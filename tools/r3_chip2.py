@@ -9,6 +9,9 @@
 2. Extract-representation throughput on chip (rows/s to HDF5) and
    Predictor latency at batch 1 / 64 — the serving numbers VERDICT r2
    asked for.
+3. Fresh xplane trace of the round-3 default train step (r2d LRN, no
+   prologue) at batch 1024 -> /tmp/trace_r3_r2d, parsed by
+   tools/traceparse.py — the updated attack-list breakdown.
 """
 import functools
 import os
@@ -152,4 +155,38 @@ extract_cli.main(
 )
 dt = time.perf_counter() - t0
 print(f"extract fc7 (warm): {n_rows} rows in {dt:.1f}s = {n_rows/dt:.0f} rows/s", flush=True)
+
+# --- 3. fresh trace of the default train step at B=1024 ----------------------
+from convnet_tpu.data.jitter import JitterSpec
+from convnet_tpu.trainer import init_state, make_train_step
+
+model.parallel.data = 1
+model.parallel.model = 1
+B = 1024
+jitter = {
+    "input": (
+        JitterSpec(image_size=224, can_translate=True, can_flip=True, scale=1 / 255),
+        np.full((3,), 0.45, np.float32),
+        None,
+    )
+}
+rng2 = np.random.RandomState(3)
+data = {
+    "input": jax.device_put(rng2.randint(0, 256, (B, 256, 256, 3), dtype=np.uint8)),
+    "labels": jax.device_put(rng2.randint(0, 1000, (B,), dtype=np.int32)),
+}
+step = make_train_step(graph, jitter)
+state = init_state(graph)
+state, m = step(state, data)
+float(m["loss"])
+state, m = step(state, data)
+float(m["loss"])
+t0 = time.perf_counter()
+NTRACE = 10
+with jax.profiler.trace("/tmp/trace_r3_r2d"):
+    for _ in range(NTRACE):
+        state, m = step(state, data)
+    float(m["loss"])
+dt = (time.perf_counter() - t0) / NTRACE
+print(f"traced step: {dt*1e3:.2f} ms ({B/dt:.0f} img/s) -> /tmp/trace_r3_r2d", flush=True)
 print("R3 CHIP BATCH 2 COMPLETE", flush=True)
