@@ -87,9 +87,21 @@ def _gather_cols(slab, s: int, shift: int, w: int, k: int):
     return r[:w]
 
 
-def _take_rows(x2d, start, rows: int):
-    """Aligned dynamic row slice of an in-VMEM value."""
-    return lax.dynamic_slice(x2d, (start, 0), (rows, x2d.shape[1]))
+def _select_chunk(full, h2, wsplit: int, wc: int):
+    """Chunk h2 of a (W, C, LB) gathered row, as a statically-unrolled
+    masked select-sum: Mosaic TC has no dynamic_slice on in-VMEM values
+    (the AOT compile probe caught interpret mode hiding this), but a
+    traced-scalar select broadcast over each static chunk lowers fine.
+    wsplit is small (<= 5 at shipped shapes) so the unroll is cheap VPU
+    work on tiles that already live in vregs."""
+    if wsplit == 1:
+        return full
+    acc = None
+    for h in range(wsplit):
+        part = full[h * wc : (h + 1) * wc]
+        sel = jnp.where(h2 == h, part, jnp.zeros_like(part))
+        acc = sel if acc is None else acc + sel
+    return acc
 
 
 def _fused_bwd_kernel(
@@ -116,7 +128,9 @@ def _fused_bwd_kernel(
     h2 = pl.program_id(2)
     wc = w // wsplit
 
-    y = y_ref[:].reshape(wc, c, lb)
+    # pool-max comparisons run in f32: Mosaic has no cmpf on packed
+    # (8,128,2) bf16 vregs, and the upcast is exact for bf16 values
+    y = y_ref[:].reshape(wc, c, lb).astype(jnp.float32)
     glrn = jnp.zeros((wc, c, lb), jnp.float32)
 
     # ---- stage 1: maxpool undo (comparison form) into VMEM ---------------
@@ -126,22 +140,10 @@ def _fused_bwd_kernel(
         m_slab = m_refs[v][:].reshape(ow, c, lb)
         g_slab = g_refs[v][:].reshape(ow, c, lb)
         for t in range(nv):
-            m_full = _gather_cols(m_slab, s, t, w, k)
-            if wsplit > 1:
-                m_half = _take_rows(
-                    m_full.reshape(w * c, lb), h2 * (wc * c), wc * c
-                ).reshape(wc, c, lb)
-            else:
-                m_half = m_full
-            sel = (y == m_half) & valid_u
-            g_full = _gather_cols(g_slab, s, t, w, k)
-            if wsplit > 1:
-                g_half = _take_rows(
-                    g_full.reshape(w * c, lb), h2 * (wc * c), wc * c
-                ).reshape(wc, c, lb)
-            else:
-                g_half = g_full
-            glrn = glrn + jnp.where(sel, g_half, 0).astype(jnp.float32)
+            m_half = _select_chunk(_gather_cols(m_slab, s, t, w, k), h2, wsplit, wc)
+            sel = (y == m_half.astype(jnp.float32)) & valid_u
+            g_half = _select_chunk(_gather_cols(g_slab, s, t, w, k), h2, wsplit, wc)
+            glrn = glrn + jnp.where(sel, g_half.astype(jnp.float32), 0.0)
 
     # ---- stage 2: LRN backward (r2d block-banded matmuls) -----------------
     g2 = glrn.reshape(wc * c, lb)
@@ -179,8 +181,7 @@ def _pick_wsplit(w: int, c: int, lb: int, itemsize: int) -> int:
     set (3 row streams + 2*nv pool views, double-buffered, plus gather
     temporaries) would blow the 16 MB scoped-VMEM limit. Smallest divisor
     of W that fits, keeping the sub-tile row count 16-aligned (bf16
-    sublane tiling and the aligned in-VMEM dynamic_slice both need it).
-    CONVNET_PLRN_WSPLIT overrides."""
+    sublane tiling). CONVNET_PLRN_WSPLIT overrides."""
     override = os.environ.get("CONVNET_PLRN_WSPLIT")
     if override:
         return int(override)
