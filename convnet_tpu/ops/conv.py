@@ -12,6 +12,8 @@ Layout: NHWC activations, HWIO weights (TPU-preferred).
 
 from __future__ import annotations
 
+import functools
+import os
 from dataclasses import dataclass
 from typing import Tuple
 
@@ -115,6 +117,95 @@ def _s2d_regroup_weight(w, s):
     )
 
 
+def _s2d_wgrad_mode() -> str:
+    """"explicit" (default) computes the s2d conv's weight gradient as
+    k'xk' dot_generals over shifted input slices; "conv" keeps XLA's
+    transposed-conv weight-grad. CONVNET_S2D_WGRAD overrides for A/B."""
+    return os.environ.get("CONVNET_S2D_WGRAD", "explicit")
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _s2d_core(xs, wr, pref, prec):
+    """Stride-1 conv over a space-to-depth view, with a hand-written
+    weight gradient.
+
+    XLA derives a conv's weight grad as another conv with batch and
+    feature dims exchanged; on TPU that emits full-tensor transposes of
+    both the s2d activations and the cotangent before the contraction —
+    the dominant entry in the round-2 trace's 6.6 ms reshape/transpose
+    bin (BASELINE.md breakdown). Here the weight grad is written as the
+    matmul it is: for each of the k'*k' kernel taps,
+
+        dwr[a,b] = <xs[:, a:a+OH, b:b+OW, :], g>  contracting (B, OH, OW)
+
+    one MXU dot_general per tap over a shifted window of xs — no layout
+    exchange, no regroup materialization. The data gradient keeps the
+    standard flipped-kernel conv form in separate ops, so when the s2d
+    conv is the first edge (its input is data) XLA dead-code-eliminates
+    it entirely.
+    """
+    return lax.conv_general_dilated(
+        xs,
+        wr,
+        window_strides=(1, 1),
+        padding=((0, 0), (0, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=pref,
+        precision=prec,
+    )
+
+
+def _s2d_core_fwd(xs, wr, pref, prec):
+    return _s2d_core(xs, wr, pref, prec), (xs, wr)
+
+
+def _s2d_core_bwd(pref, prec, res, g):
+    xs, wr = res
+    kh, kw, ci, co = wr.shape
+    b, oh, ow, _ = g.shape
+    # data grad: full correlation with the spatially-flipped kernel,
+    # standalone ops -> DCE'd when the caller never uses dxs
+    dxs = lax.conv_general_dilated(
+        g,
+        jnp.flip(wr, (0, 1)).swapaxes(2, 3),
+        window_strides=(1, 1),
+        padding=((kh - 1, kh - 1), (kw - 1, kw - 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=pref,
+        precision=prec,
+    ).astype(xs.dtype)
+    if _s2d_wgrad_mode() == "conv":
+        _, vjp = jax.vjp(
+            lambda w_: lax.conv_general_dilated(
+                xs, w_, (1, 1), ((0, 0), (0, 0)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=pref, precision=prec,
+            ),
+            wr,
+        )
+        return dxs, vjp(g)[0]
+    taps = []
+    for a in range(kh):
+        for bb in range(kw):
+            xsl = lax.slice(
+                xs, (0, a, bb, 0), (b, a + oh, bb + ow, ci)
+            )
+            taps.append(
+                lax.dot_general(
+                    xsl,
+                    g,
+                    (((0, 1, 2), (0, 1, 2)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=prec,
+                )
+            )
+    dwr = jnp.stack(taps, axis=0).reshape(kh, kw, ci, co).astype(wr.dtype)
+    return dxs, dwr
+
+
+_s2d_core.defvjp(_s2d_core_fwd, _s2d_core_bwd)
+
+
 def _space_to_depth_conv(x, w, stride, out_h, out_w, pad_h, pad_w, pref, prec):
     """Strided conv as a stride-1 conv over a space-to-depth view.
 
@@ -155,15 +246,7 @@ def _space_to_depth_conv(x, w, stride, out_h, out_w, pad_h, pad_w, pref, prec):
         .reshape(b, tgt_h // s, tgt_w // s, s * s * cin)
     )
     w = _s2d_regroup_weight(w, s)
-    return lax.conv_general_dilated(
-        x,
-        w,
-        window_strides=(1, 1),
-        padding=((0, 0), (0, 0)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=pref,
-        precision=prec,
-    )
+    return _s2d_core(x, w, pref, prec)
 
 
 def conv2d(
@@ -187,16 +270,13 @@ def conv2d(
         if compute_dtype is not None:
             xs = xs.astype(compute_dtype)
             w = w.astype(compute_dtype)
-        return lax.conv_general_dilated(
+        return _s2d_core(
             xs,
             _s2d_regroup_weight(w, stride),
-            window_strides=(1, 1),
-            padding=((0, 0), (0, 0)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=None
+            None
             if compute_dtype is not None
             else jnp.promote_types(xs.dtype, jnp.float32),
-            precision=matmul_precision(compute_dtype),
+            matmul_precision(compute_dtype),
         )
     kh, kw = w.shape[0], w.shape[1]
     cin = w.shape[2]

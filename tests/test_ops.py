@@ -119,6 +119,27 @@ def test_conv2d_space_to_depth_equals_dense(h, k, s, p, cin):
     np.testing.assert_allclose(np.asarray(gw1), np.asarray(gw2), rtol=1e-4, atol=1e-4)
 
 
+def test_s2d_explicit_wgrad_matches_conv_wgrad(monkeypatch):
+    """conv.py:_s2d_core's hand-written tap-matmul weight gradient
+    (CONVNET_S2D_WGRAD=explicit, the default) must equal XLA's
+    transposed-conv weight grad (=conv) bit-for-bit up to f32 roundoff,
+    including the ceil-mode overhang rows the s2d pre-pad introduces."""
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.randn(3, 29, 29, 3).astype(np.float32))
+    w = jnp.asarray(0.1 * rng.randn(11, 11, 3, 6).astype(np.float32))
+
+    def loss(w_):
+        y = conv_ops.conv2d(x, w_, 4, 1)
+        return jnp.sum(y * jnp.cos(y))
+
+    grads = {}
+    for mode in ("explicit", "conv"):
+        monkeypatch.setenv("CONVNET_S2D_WGRAD", mode)
+        jax.clear_caches()  # mode is read at trace time
+        grads[mode] = np.asarray(jax.grad(loss)(w))
+    np.testing.assert_allclose(grads["explicit"], grads["conv"], rtol=1e-5, atol=1e-4)
+
+
 @pytest.mark.parametrize("h,k,s", [(8, 2, 2), (32, 3, 2), (7, 3, 3)])
 def test_maxpool_matches_numpy(h, k, s):
     rng = np.random.RandomState(1)

@@ -6,8 +6,9 @@ chip claim serves everything — see docs/performance.md traps):
   1. Compiled fused-backward numerics vs the XLA oracle composition at
      AlexNet rnorm1 geometry (B=128, 55x55x96, pool k3 s2): f32 plain
      and bf16+fuse_relu (the bench regime), tie-heavy quantized input.
-  2. Full-step A/B at batch 1024: default (unfused, r2d LRN) vs
-     CONVNET_POOL_LRN_FUSED=1.
+  2. Full-step A/B at batch 1024, 2x2 factorial: pool+LRN fusion
+     (CONVNET_POOL_LRN_FUSED) x s2d weight-grad form (CONVNET_S2D_WGRAD
+     conv = round-2 transposed-conv wgrad, explicit = tap-matmul).
   3. Fresh xplane trace of the winner -> /tmp/trace_r3_best.
 """
 import os
@@ -99,6 +100,7 @@ data = {
 
 
 def measure(tag, n=30):
+    jax.clear_caches()  # env knobs are read at trace time
     step = make_train_step(graph, jitter)
     state = init_state(graph)
     state, m = step(state, data)
@@ -110,19 +112,26 @@ def measure(tag, n=30):
         state, m = step(state, data)
     float(m["loss"])
     dt = (time.perf_counter() - t0) / n
-    print(f"{tag:28s} {dt*1e3:7.2f} ms/step  {B/dt:8.0f} img/s", flush=True)
+    print(f"{tag:44s} {dt*1e3:7.2f} ms/step  {B/dt:8.0f} img/s", flush=True)
     return dt
 
 
-dt_base = measure("default (unfused)")
-os.environ["CONVNET_POOL_LRN_FUSED"] = "1"
-dt_fused = measure("CONVNET_POOL_LRN_FUSED=1")
-fused_wins = dt_fused < dt_base
-if not fused_wins:
-    del os.environ["CONVNET_POOL_LRN_FUSED"]
+results = {}
+for fused in ("0", "1"):
+    for wgrad in ("conv", "explicit"):
+        os.environ["CONVNET_POOL_LRN_FUSED"] = fused
+        os.environ["CONVNET_S2D_WGRAD"] = wgrad
+        tag = f"fused={fused} wgrad={wgrad}" + (
+            " (round-2 config)" if (fused, wgrad) == ("0", "conv") else ""
+        )
+        results[(fused, wgrad)] = measure(tag)
+
+best = min(results, key=results.get)
+os.environ["CONVNET_POOL_LRN_FUSED"], os.environ["CONVNET_S2D_WGRAD"] = best
 print(
-    f"A/B: fused {'WINS' if fused_wins else 'LOSES'} by "
-    f"{abs(dt_base-dt_fused)*1e3:.2f} ms/step",
+    f"best: fused={best[0]} wgrad={best[1]} "
+    f"({B/results[best]:.0f} img/s, saves "
+    f"{(results[('0','conv')]-results[best])*1e3:.2f} ms vs round-2 config)",
     flush=True,
 )
 
