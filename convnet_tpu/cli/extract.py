@@ -45,6 +45,12 @@ def build_argparser() -> argparse.ArgumentParser:
         help="fail on pbtxt fields unknown to the schema instead of "
         "parsing leniently with a warning",
     )
+    p.add_argument(
+        "--timing",
+        action="store_true",
+        help="print a per-phase wall-time breakdown (gather / dispatch "
+        "/ device readback / HDF5 write) at the end",
+    )
     return p
 
 
@@ -99,16 +105,52 @@ def main(argv=None) -> int:
     }
     total = data.num_rows
     done = 0
+    import time
+
+    t = {"gather": 0.0, "dispatch": 0.0, "readback": 0.0, "write": 0.0}
     with DataWriter(args.output, dims) as writer:
         # deterministic epoch incl. the final partial batch (padded rows
-        # are trimmed before writing) — every input row gets features
-        for batch, valid in data.iter_epoch():
-            acts = jax.device_get(fwd(params, batch))
+        # are trimmed before writing) — every input row gets features.
+        # Double-buffered: batch i+1 is dispatched (host->device + fprop
+        # enqueued, all async) before batch i's readback blocks, so the
+        # transfer/compute of one batch hides under the readback/HDF5
+        # write of the previous one.
+        pending = None
+
+        def drain(pending):
+            nonlocal done
+            out, valid = pending
+            t0 = time.perf_counter()
+            acts = jax.device_get(out)
+            t["readback"] += time.perf_counter() - t0
+            t0 = time.perf_counter()
             writer.append({name: acts[name][:valid] for name in args.layers})
+            t["write"] += time.perf_counter() - t0
             done += valid
             if done % (50 * data.batch_size) < data.batch_size:
                 print(f"extracted {done}/{total} rows")
+
+        it = data.iter_epoch()
+        while True:
+            t0 = time.perf_counter()
+            item = next(it, None)
+            t["gather"] += time.perf_counter() - t0
+            if item is None:
+                break
+            batch, valid = item
+            t0 = time.perf_counter()
+            out = fwd(params, batch)
+            t["dispatch"] += time.perf_counter() - t0
+            if pending is not None:
+                drain(pending)
+            pending = (out, valid)
+        if pending is not None:
+            drain(pending)
     data.close()
+    if args.timing:
+        width = max(len(k) for k in t)
+        for k, v in t.items():
+            print(f"  {k:{width}s} {v:8.2f} s")
     print(f"wrote {args.output}")
     return 0
 

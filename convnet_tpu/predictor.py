@@ -29,8 +29,12 @@ class Predictor:
     itself) plus mean/scale normalization — so clients can ship raw
     pre-crop images exactly as the reference's serving path accepted
     them (src/extract_representation.cc [U]). `input_dtype=np.uint8`
-    compiles the uint8 fast path (4x less host->device traffic; the
-    crop runs on uint8 and normalization happens on device)."""
+    compiles the uint8 fast path (4x less host->device traffic): with
+    a jitter map the crop runs on uint8 and normalization happens on
+    device; without one the program still takes uint8 over the wire
+    and widens to float on device (no normalization — the bytes are
+    used as-is, matching what the f32 path would see for 0..255
+    inputs)."""
 
     def __init__(
         self,
@@ -54,13 +58,26 @@ class Predictor:
             if raw_size < crop:
                 raise ValueError(f"raw_size {raw_size} < crop size {crop}")
         self.params = jax.tree.map(jnp.asarray, params)
-        self._fwd = make_forward(graph, self.layers, jitter)
-        # AOT compile now so serving latency is flat from request one
         self._jitter = jitter
         self._raw_size = raw_size
         self._input_dtype = np.dtype(input_dtype)
+        base_fwd = make_forward(graph, self.layers, jitter)
+        jittered = frozenset(jitter or ())
+
+        # Inputs outside the jitter map still ride the wire at
+        # `input_dtype` and widen to f32 on device (a free fused cast),
+        # so a uint8 Predictor never ships 4x bytes just because a
+        # model has no eval prologue.
+        def fwd(params, batch):
+            batch = {
+                k: v if k in jittered else jnp.asarray(v, jnp.float32)
+                for k, v in batch.items()
+            }
+            return base_fwd(params, batch)
+
+        # AOT compile now so serving latency is flat from request one
         example = self._example_batch()
-        self._compiled = self._fwd.lower(self.params, example).compile()
+        self._compiled = jax.jit(fwd).lower(self.params, example).compile()
 
     @classmethod
     def from_checkpoint(
@@ -82,12 +99,12 @@ class Predictor:
         out = {}
         for l in self.graph.input_layers:
             h, w, c = self.graph.shapes[l.name]
-            dt = jnp.float32
             if self._jitter and l.data_field in self._jitter:
                 spec = self._jitter[l.data_field][0]
                 h = w = self._raw_size or spec.image_size
-                dt = self._input_dtype
-            out[l.data_field] = jnp.zeros((self.batch_size, h, w, c), dt)
+            out[l.data_field] = jnp.zeros(
+                (self.batch_size, h, w, c), self._input_dtype
+            )
         return out
 
     def __call__(self, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
@@ -96,10 +113,9 @@ class Predictor:
         n = next(iter(batch.values())).shape[0]
         if n > self.batch_size:
             raise ValueError(f"batch of {n} exceeds compiled batch_size {self.batch_size}")
-        jittered = set(self._jitter or ())
         padded = {}
         for k, v in batch.items():
-            want = self._input_dtype if k in jittered else np.float32
+            want = self._input_dtype
             v = np.asarray(v)
             if want == np.uint8 and np.issubdtype(v.dtype, np.floating):
                 # np.uint8 casting silently WRAPS out-of-range floats

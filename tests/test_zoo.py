@@ -146,3 +146,40 @@ def test_predictor_rejects_float_input_when_compiled_uint8():
     p = Predictor(g, params, batch_size=4, jitter=jit, raw_size=12, input_dtype=np.uint8)
     with pytest.raises(TypeError, match="uint8"):
         p({"input": np.random.rand(4, 12, 12, 3).astype(np.float32)})
+
+
+def test_predictor_uint8_without_jitter_casts_on_device():
+    """input_dtype=uint8 with NO jitter map must still compile a uint8
+    wire format (widened to f32 on device) and agree with the f32
+    Predictor fed the same byte values — it used to be silently ignored
+    so the program still demanded 4x the host->device bytes."""
+    import numpy as np
+
+    from convnet_tpu import config, model as model_lib
+    from convnet_tpu.graph import build_graph
+    from convnet_tpu.predictor import Predictor
+
+    g = build_graph(config.parse_model(
+        """
+        name: "pu8nj"
+        layer { name: "input" is_input: true num_channels: 3 image_size: 8 }
+        layer { name: "output" is_output: true num_channels: 4 activation: SOFTMAX data_field: "labels" }
+        edge { source: "input" dest: "output" edge_type: FC initialization: DENSE_GAUSSIAN init_wt: 0.01 }
+        """
+    ))
+    params = model_lib.init_params(g)
+    rng = np.random.RandomState(7)
+    xb = rng.randint(0, 256, (4, 8, 8, 3), dtype=np.uint8)
+    p8 = Predictor(g, params, batch_size=4, input_dtype=np.uint8)
+    # the compiled program's input really is uint8 over the wire
+    import jax
+
+    in_dtypes = [a.dtype for a in jax.tree.leaves(p8._compiled.in_avals)]
+    assert any(dt == np.uint8 for dt in in_dtypes), in_dtypes
+    pf = Predictor(g, params, batch_size=4)
+    np.testing.assert_allclose(
+        p8({"input": xb})["output"],
+        pf({"input": xb.astype(np.float32)})["output"],
+        rtol=1e-5,
+        atol=1e-6,
+    )
