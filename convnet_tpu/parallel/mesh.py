@@ -82,8 +82,10 @@ def mesh_for_graph(graph: Graph, devices: Optional[list] = None) -> Optional[Mes
     return make_mesh(data, model, devices)
 
 
-def batch_sharding(mesh: Mesh) -> NamedSharding:
-    return NamedSharding(mesh, P("data"))
+def batch_sharding(mesh: Mesh, stacked: bool = False) -> NamedSharding:
+    """Batch rows over the data axis; `stacked` shifts past the leading
+    steps axis of an unrolled (multi-step-per-launch) batch stack."""
+    return NamedSharding(mesh, P(None, "data") if stacked else P("data"))
 
 
 def _edge_pspec(graph: Graph, edge_name: str, leaf: str, n_model: int = 1) -> P:

@@ -159,6 +159,41 @@ def test_train_step_reduces_loss_on_learnable_data():
     assert losses[-1] < 0.35, f"loss failed to drop: {losses[-1]:.3f} (start {losses[0]:.3f})"
 
 
+def test_unrolled_step_matches_sequential():
+    """make_train_step(unroll=k) scanning k stacked batches must equal k
+    sequential single-step launches exactly — same per-step RNG (folded
+    from the step counter), same state, metrics stacked per inner step."""
+    g = build_graph(config.parse_model(SMALL_NET))
+    rng = np.random.RandomState(4)
+    batches = [
+        {
+            "input": jnp.asarray(rng.randn(32, 12, 12, 1).astype(np.float32)),
+            "labels": jnp.asarray(rng.randint(0, 10, (32,), dtype=np.int32)),
+        }
+        for _ in range(3)
+    ]
+    state_a = init_state(g)
+    step1 = make_train_step(g)
+    losses_seq = []
+    for b in batches:
+        state_a, m = step1(state_a, b)
+        losses_seq.append(float(m["loss"]))
+    state_b = init_state(g)
+    step3 = make_train_step(g, unroll=3)
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+    state_b, ms = step3(state_b, stacked)
+    assert ms["loss"].shape == (3,)
+    np.testing.assert_allclose(np.asarray(ms["loss"]), losses_seq, rtol=1e-6)
+    assert int(state_b["step"]) == int(state_a["step"]) == 3
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32), rtol=1e-6, atol=1e-7
+        ),
+        state_a["params"],
+        state_b["params"],
+    )
+
+
 @pytest.mark.parametrize("pipeline", ["true", "false"])
 def test_trainer_e2e_dummy(tmp_path, pipeline):
     g = build_graph(config.parse_model(SMALL_NET))
