@@ -236,6 +236,7 @@ class Trainer:
         mesh=None,
         log_fn=print,
         model_proto=None,
+        steps_per_launch: int = 1,
     ):
         self.graph = graph
         # when given, save() mirrors the reference's ConvNet::Save [U]:
@@ -276,10 +277,25 @@ class Trainer:
             )
         jitter = train_data.jitter_specs()
         eval_jitter = val_data.jitter_specs() if val_data is not None else jitter
-        self._train_step = make_train_step(graph, jitter, self.mesh)
+        self._jitter = jitter
+        # steps_per_launch > 1: one launch scans k steps on device
+        # (make_train_step unroll) over k stacked batches — amortizes
+        # per-launch dispatch latency; numerics are launch-invariant.
+        # Display/validate/checkpoint cadences fire at the first launch
+        # boundary at or past each multiple.
+        self.steps_per_launch = max(1, int(steps_per_launch))
+        self._launch_fns: Dict[int, Any] = {}
+        self._train_step = self._launch_fn(self.steps_per_launch)
         self._eval_step = make_eval_step(graph, eval_jitter, self.mesh)
         self.state = init_state(graph)
         self._resume()
+
+    def _launch_fn(self, n: int):
+        if n not in self._launch_fns:
+            self._launch_fns[n] = make_train_step(
+                self.graph, self._jitter, self.mesh, unroll=n
+            )
+        return self._launch_fns[n]
 
     def log(self, msg: str):
         self._log_fn(msg)
@@ -340,11 +356,22 @@ class Trainer:
 
     # -- loops --------------------------------------------------------------
 
-    def _device_batch(self, host_batch):
+    def _device_batch(self, host_batch, stacked: bool = False):
         if self.mesh is not None:
-            bs = mesh_lib.batch_sharding(self.mesh)
+            bs = mesh_lib.batch_sharding(self.mesh, stacked=stacked)
             return {k: jax.device_put(v, bs) for k, v in host_batch.items()}
         return {k: jnp.asarray(v) for k, v in host_batch.items()}
+
+    def _stage(self, n: int):
+        """Fetch n batches and ship them as one launch's input: plain
+        batch for n=1, leading-axis stack for a scanned launch."""
+        if n == 1:
+            return self._device_batch(self.train_data.get_batch())
+        batches = [self.train_data.get_batch() for _ in range(n)]
+        stacked = {
+            k: np.stack([b[k] for b in batches]) for k in batches[0]
+        }
+        return self._device_batch(stacked, stacked=True)
 
     def train(self, max_iter: Optional[int] = None, profile_dir: Optional[str] = None):
         """Step loop. `profile_dir`: capture a jax.profiler trace of steps
@@ -353,30 +380,43 @@ class Trainer:
         total = max_iter if max_iter is not None else g.max_iter
         window_metrics: List[Dict] = []
         t0 = time.time()
-        next_batch = self._device_batch(self.train_data.get_batch())
         start_step = int(self.state["step"])
+        k = self.steps_per_launch
+        it = start_step
+        next_batch = self._stage(min(k, total - it)) if it < total else None
         profiling = False
-        for it in range(start_step, total):
+        while it < total:
             if profile_dir is not None:
-                if it == start_step + 5 and not profiling:
+                if it >= start_step + 5 and not profiling and it < start_step + 15:
                     jax.profiler.start_trace(profile_dir)
                     profiling = True
-                elif profiling and it == start_step + 15:
+                elif profiling and it >= start_step + 15:
                     jax.tree.map(
                         lambda a: a.block_until_ready(), self.state["params"]
                     )
                     jax.profiler.stop_trace()
                     profiling = False
                     self.log(f"profile trace -> {profile_dir}")
+            n = min(k, total - it)
             batch = next_batch
-            self.state, metrics = self._train_step(self.state, batch)
-            # overlap: stage the next batch while the step executes
-            if it + 1 < total:
-                next_batch = self._device_batch(self.train_data.get_batch())
-            window_metrics.append(metrics)
+            self.state, metrics = self._launch_fn(n)(self.state, batch)
+            prev = it
+            it += n
+            # overlap: stage the next launch's batches while this one runs
+            if it < total:
+                next_batch = self._stage(min(k, total - it))
+            if n == 1:
+                window_metrics.append(metrics)
+            else:
+                # unstack the scanned launch's per-step metric rows
+                rows = jax.device_get(metrics)
+                for i in range(n):
+                    window_metrics.append(
+                        {mk: np.asarray(mv)[i] for mk, mv in rows.items()}
+                    )
 
-            step_no = it + 1
-            if g.display_after and step_no % g.display_after == 0:
+            step_no = it
+            if g.display_after and step_no // g.display_after > prev // g.display_after:
                 ms = jax.device_get(window_metrics)
                 loss = float(np.mean([m["loss"] for m in ms]))
                 errs = sum(
@@ -391,11 +431,11 @@ class Trainer:
                 )
                 window_metrics = []
                 t0 = time.time()
-            if g.validate_after and self.val_data and step_no % g.validate_after == 0:
+            if g.validate_after and self.val_data and step_no // g.validate_after > prev // g.validate_after:
                 verr, vloss = self.validate()
                 self.log(f"step {step_no} VALIDATION loss {vloss:.4f} err {verr:.4f}")
                 t0 = time.time()
-            if g.checkpoint_after and step_no % g.checkpoint_after == 0:
+            if g.checkpoint_after and step_no // g.checkpoint_after > prev // g.checkpoint_after:
                 self.save()
                 t0 = time.time()
         if profiling:

@@ -194,6 +194,34 @@ def test_unrolled_step_matches_sequential():
     )
 
 
+def test_trainer_steps_per_launch_matches_single(tmp_path):
+    """Trainer(steps_per_launch=3) over a deterministic DUMMY stream
+    must land on the same params as the per-step Trainer — including a
+    tail launch (13 % 3 != 0) — and still
+    fire display at the first launch boundary past each multiple."""
+    final = {}
+    logs = {}
+    for k in (1, 3):
+        lines = []
+        tr = Trainer(
+            build_graph(config.parse_model(SMALL_NET)),
+            make_handler(pipeline="false"),
+            checkpoint_dir=str(tmp_path / f"k{k}"),
+            log_fn=lines.append,
+            steps_per_launch=k,
+        )
+        state = tr.train(max_iter=13)
+        final[k] = jax.device_get(state["params"])
+        logs[k] = lines
+        tr.train_data.close()
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7),
+        final[1],
+        final[3],
+    )
+    assert any("loss" in ln for ln in logs[3])
+
+
 @pytest.mark.parametrize("pipeline", ["true", "false"])
 def test_trainer_e2e_dummy(tmp_path, pipeline):
     g = build_graph(config.parse_model(SMALL_NET))
