@@ -104,6 +104,25 @@ def _select_chunk(full, h2, wsplit: int, wc: int):
     return acc
 
 
+def _chunk_lrn_y(z_t, bmat_ref, alpha: float, beta: float, relu: bool, out_dtype):
+    """One kb-chunk of the LRN forward, the EXACT op sequence both fused
+    kernels share: the fwd kernel's m and the bwd kernel's recomputed y
+    must agree bit-for-bit (the pool-undo stage credits positions whose
+    y equals the stored window max), so both call this helper — same
+    banded MXU window sum, same _neg_pow_pair mul-chain, same downcast.
+    (The MXU's in-row f32 accumulation order is K-scan over the band's
+    contiguous nonzeros, and the zero taps add exact +0.0, so the sums
+    are also invariant to the kb tiling itself.)"""
+    x = jnp.maximum(z_t, 0.0) if relu else z_t
+    ssum = lax.dot_general(
+        bmat_ref[:], x * x, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    d = 1.0 + alpha * ssum
+    pb, dpow = _neg_pow_pair(d, beta)
+    return x, pb, dpow, (x * pb).astype(out_dtype)
+
+
 def _fused_bwd_kernel(
     *refs,
     nv: int,
@@ -123,14 +142,25 @@ def _fused_bwd_kernel(
 ):
     g_refs = refs[:nv]
     m_refs = refs[nv : 2 * nv]
-    y_ref, z_ref, bmat_ref, dz_ref = refs[2 * nv :]
+    z_ref, bmat_ref, dz_ref = refs[2 * nv :]
     i = pl.program_id(1)
     h2 = pl.program_id(2)
     wc = w // wsplit
+    rows = kb * c
+    zb = z_ref[:]
 
+    # ---- stage 0: recompute y from z (the 594 MB y read this kernel
+    # used to pay is pure redundancy: d is recomputed from z anyway and
+    # y = x * d^-beta is one extra multiply per element) ----------------
+    ys = []
+    for t in range(wc // kb):
+        sl = slice(t * rows, (t + 1) * rows)
+        z_t = zb[sl].astype(jnp.float32)
+        _, _, _, y_t = _chunk_lrn_y(z_t, bmat_ref, alpha, beta, relu, zb.dtype)
+        ys.append(y_t)
     # pool-max comparisons run in f32: Mosaic has no cmpf on packed
     # (8,128,2) bf16 vregs, and the upcast is exact for bf16 values
-    y = y_ref[:].reshape(wc, c, lb).astype(jnp.float32)
+    y = jnp.concatenate(ys, axis=0).reshape(wc, c, lb).astype(jnp.float32)
     glrn = jnp.zeros((wc, c, lb), jnp.float32)
 
     # ---- stage 1: maxpool undo (comparison form) into VMEM ---------------
@@ -145,21 +175,17 @@ def _fused_bwd_kernel(
             g_half = _select_chunk(_gather_cols(g_slab, s, t, w, k), h2, wsplit, wc)
             glrn = glrn + jnp.where(sel, g_half.astype(jnp.float32), 0.0)
 
-    # ---- stage 2: LRN backward (r2d block-banded matmuls) -----------------
+    # ---- stage 2: LRN backward (r2d block-banded matmuls). d/pb/dpow
+    # are recomputed per chunk rather than carried from stage 0: the
+    # extra banded matmul rides the otherwise-idle MXU, while retaining
+    # three full-tile f32 temporaries across stage 1 would strain the
+    # 16 MB scoped-VMEM budget. ---------------------------------------
     g2 = glrn.reshape(wc * c, lb)
-    zb = z_ref[:]
-    rows = kb * c
     for t in range(wc // kb):
         sl = slice(t * rows, (t + 1) * rows)
         z_t = zb[sl].astype(jnp.float32)
-        x = jnp.maximum(z_t, 0.0) if relu else z_t
+        x, pb, dpow, _ = _chunk_lrn_y(z_t, bmat_ref, alpha, beta, relu, zb.dtype)
         g_t = g2[sl]
-        ssum = lax.dot_general(
-            bmat_ref[:], x * x, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        d = 1.0 + alpha * ssum
-        pb, dpow = _neg_pow_pair(d, beta)
         inner = lax.dot_general(
             bmat_ref[:], g_t * x * dpow, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -206,12 +232,11 @@ def _pick_kb(wc: int, c: int) -> int:
 
 
 def _pallas_fused_bwd(
-    gm, m, y, z, *, n, blocked, alpha, beta, relu, k, s, interpret
+    gm, m, z, *, n, blocked, alpha, beta, relu, k, s, interpret
 ):
     b, h, w, c = z.shape
     _, oh, ow, _ = m.shape
     zt = jnp.transpose(z, (1, 2, 3, 0)).reshape(h * w * c, b)
-    yt = jnp.transpose(y, (1, 2, 3, 0)).reshape(h * w * c, b)
     mt = jnp.transpose(m, (1, 2, 3, 0)).reshape(oh * ow * c, b)
     gt = jnp.transpose(gm.astype(m.dtype), (1, 2, 3, 0)).reshape(oh * ow * c, b)
 
@@ -246,7 +271,6 @@ def _pallas_fused_bwd(
         in_specs=[pool_spec(v) for v in range(nv)] * 2
         + [
             row_spec,
-            row_spec,
             pl.BlockSpec(
                 (kb * c, kb * c), lambda jb, i, h2: (0, 0), memory_space=pltpu.VMEM
             ),
@@ -254,8 +278,8 @@ def _pallas_fused_bwd(
         out_specs=row_spec,
         out_shape=jax.ShapeDtypeStruct((h * w * c, b), z.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=4 * h * w * c * (kb * c) * b + 10 * nv * nv * h * w * c * b,
-            bytes_accessed=_nbytes(zt) * 3 + _nbytes(mt) * 2 * nv,
+            flops=6 * h * w * c * (kb * c) * b + 10 * nv * nv * h * w * c * b,
+            bytes_accessed=_nbytes(zt) * 2 + _nbytes(mt) * 2 * nv,
             transcendentals=0,
         ),
         compiler_params=None
@@ -264,12 +288,134 @@ def _pallas_fused_bwd(
             dimension_semantics=("parallel", "parallel", "parallel")
         ),
         interpret=interpret,
-    )(*([gt] * nv + [mt] * nv + [yt, zt, bmat]))
+    )(*([gt] * nv + [mt] * nv + [zt, bmat]))
     return jnp.transpose(dz2.reshape(h, w, c, b), (3, 0, 1, 2))
 
 
 def _nbytes(a):
     return a.size * a.dtype.itemsize
+
+
+# ---------------------------------------------------------------------------
+# Forward kernel: response-norm + maxpool in one pass, y never in HBM
+# ---------------------------------------------------------------------------
+
+
+def _pool_cols(y_slab, s: int, t: int, ow: int):
+    """(W, C, LB) -> (OW, C, LB) with out[j] = y_slab[s*j + t], -inf
+    where s*j + t falls past the input's right edge (the ceil-mode
+    window overhang reduce_window completes with -inf padding). Static
+    slice + pad + reshape only — no dynamic addressing, Mosaic-safe."""
+    w = y_slab.shape[0]
+    need = s * ow
+    sl = y_slab[t : min(t + need, w)]
+    if sl.shape[0] < need:
+        pad = jnp.full(
+            (need - sl.shape[0],) + sl.shape[1:], -jnp.inf, sl.dtype
+        )
+        sl = jnp.concatenate([sl, pad], axis=0)
+    return sl.reshape((ow, s) + sl.shape[1:])[:, 0]
+
+
+def _fused_fwd_kernel(
+    z_ref,
+    bmat_ref,
+    m_ref,
+    *,
+    h: int,
+    w: int,
+    c: int,
+    lb: int,
+    ow: int,
+    k: int,
+    s: int,
+    kb: int,
+    alpha: float,
+    beta: float,
+    relu: bool,
+):
+    """Grid (B/LB, OH, k): step (jb, i, v) reads image row s*i + v of z,
+    computes that row's LRN output y in VMEM (shared _chunk_lrn_y
+    chunks), reduces its k column taps, and max-accumulates into output
+    row i — which stays resident in VMEM across the v revisits. The LRN
+    output never touches HBM; vs the unfused chain (LRN writes y 594 MB,
+    pool reads it back + the conv output once more at AlexNet rnorm1/
+    B=1024) this saves ~2 HBM round-trips of the layer."""
+    i = pl.program_id(1)
+    v = pl.program_id(2)
+    rows = kb * c
+    zb = z_ref[:]
+    ys = []
+    for t in range(w // kb):
+        sl = slice(t * rows, (t + 1) * rows)
+        z_t = zb[sl].astype(jnp.float32)
+        _, _, _, y_t = _chunk_lrn_y(z_t, bmat_ref, alpha, beta, relu, zb.dtype)
+        ys.append(y_t)
+    y = jnp.concatenate(ys, axis=0).reshape(w, c, lb).astype(jnp.float32)
+    # row tap past the bottom edge (ceil-mode overhang): -inf, max identity
+    y = jnp.where(i * s + v <= h - 1, y, -jnp.inf)
+    cur = None
+    for t in range(k):
+        g = _pool_cols(y, s, t, ow)
+        cur = g if cur is None else jnp.maximum(cur, g)
+    cur = cur.reshape(ow * c, lb)
+
+    @pl.when(v == 0)
+    def _init():
+        m_ref[:] = cur.astype(m_ref.dtype)
+
+    @pl.when(v > 0)
+    def _acc():
+        m_ref[:] = jnp.maximum(m_ref[:].astype(jnp.float32), cur).astype(
+            m_ref.dtype
+        )
+
+
+def _pallas_fused_fwd(z, *, n, blocked, alpha, beta, relu, k, s, interpret):
+    from convnet_tpu.graph import conv_out_size
+
+    b, h, w, c = z.shape
+    oh = conv_out_size(h, k, s, 0)
+    ow = conv_out_size(w, k, s, 0)
+    zt = jnp.transpose(z, (1, 2, 3, 0)).reshape(h * w * c, b)
+    lb = 128 if (b % 128 == 0 and not interpret) else b
+    kb = _pick_kb(w, c)
+    bmat = jnp.asarray(_stage2_band(c, n, blocked, kb))
+    kernel = functools.partial(
+        _fused_fwd_kernel,
+        h=h, w=w, c=c, lb=lb, ow=ow, k=k, s=s, kb=kb,
+        alpha=alpha, beta=beta, relu=relu,
+    )
+    m2 = pl.pallas_call(
+        kernel,
+        grid=(b // lb, oh, k),
+        in_specs=[
+            pl.BlockSpec(
+                (w * c, lb),
+                lambda jb, i, v: (jnp.clip(i * s + v, 0, h - 1), jb),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (kb * c, kb * c), lambda jb, i, v: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (ow * c, lb), lambda jb, i, v: (i, jb), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((oh * ow * c, b), z.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * k * h * w * c * (kb * c) * b // s,
+            bytes_accessed=_nbytes(zt) * 2,
+            transcendentals=0,
+        ),
+        compiler_params=None
+        if interpret
+        else pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")
+        ),
+        interpret=interpret,
+    )(zt, bmat)
+    return jnp.transpose(m2.reshape(oh, ow, c, b), (3, 0, 1, 2))
 
 
 # ---------------------------------------------------------------------------
@@ -292,6 +438,11 @@ def _fused_backend(backend: str, shape, pool_padding: int) -> str:
         return "xla"
     b, h, w, c = shape
     if c % 128 == 0 or b % 128 != 0 or c > 512 or c % 8 != 0:
+        return "xla"
+    # the fwd kernel holds a full image row's LRN output in f32 VMEM
+    # (plus the double-buffered bf16 row slabs); bail out of the fused
+    # path entirely (fwd and bwd stay paired) when that won't fit
+    if w * c * 128 * 4 > (6 << 20):
         return "xla"
     return "pallas"
 
@@ -324,7 +475,23 @@ def lrn_maxpool(
     (ties credit every winner) — NOT select-and-scatter. Forward values
     are identical either way. `fuse_relu` treats x as the producing
     layer's pre-activation, exactly as response_norm_cross_map does.
-    """
+
+    On the Pallas path the LRN output y exists only inside VMEM tiles:
+    the fused forward writes just the pooled maxima and the fused
+    backward recomputes y from x per tile (the pool-undo comparison
+    needs it bit-exact, so both kernels share _chunk_lrn_y). The
+    reference pays HBM for y twice in each direction
+    (ResponseNormCrossMap -> MaxPool, then MaxPoolUndo ->
+    ResponseNormCrossMapUndo [U])."""
+    if x.ndim == 4 and _fused_backend(backend, x.shape, pool_padding) == "pallas":
+        c = x.shape[-1]
+        n = norm_window_size(c, frac_of_filters)
+        return _pallas_fused_fwd(
+            x,
+            n=n, blocked=blocked, alpha=add_scale / n, beta=float(pow_scale),
+            relu=fuse_relu, k=pool_kernel, s=pool_stride,
+            interpret=jax.default_backend() == "cpu",
+        )
     y = _lrn_fwd(
         x, add_scale, pow_scale, frac_of_filters, blocked, "auto", fuse_relu
     )
@@ -334,6 +501,16 @@ def lrn_maxpool(
 def _lrn_maxpool_fwd(
     x, add_scale, pow_scale, frac, blocked, pk, ps, ppad, fuse_relu, backend
 ):
+    if x.ndim == 4 and _fused_backend(backend, x.shape, ppad) == "pallas":
+        c = x.shape[-1]
+        n = norm_window_size(c, frac)
+        m = _pallas_fused_fwd(
+            x,
+            n=n, blocked=blocked, alpha=add_scale / n, beta=float(pow_scale),
+            relu=fuse_relu, k=pk, s=ps,
+            interpret=jax.default_backend() == "cpu",
+        )
+        return m, (x, None, m)  # y is VMEM-only; the bwd recomputes it
     y = _lrn_fwd(x, add_scale, pow_scale, frac, blocked, "auto", fuse_relu)
     m = maxpool2d(y, pk, ps, ppad)
     return m, (x, y, m)
@@ -350,7 +527,7 @@ def _lrn_maxpool_bwd(
     if x.ndim == 4 and _fused_backend(backend, x.shape, ppad) == "pallas":
         interp = jax.default_backend() == "cpu"
         dz = _pallas_fused_bwd(
-            gm, m, y, x,
+            gm, m, x,
             n=n, blocked=blocked, alpha=alpha, beta=beta, relu=fuse_relu,
             k=pk, s=ps, interpret=interp,
         )
