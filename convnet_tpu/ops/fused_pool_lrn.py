@@ -437,7 +437,15 @@ def _fused_backend(backend: str, shape, pool_padding: int) -> str:
     if len(shape) != 4 or on_host or pool_padding != 0:
         return "xla"
     b, h, w, c = shape
-    if c % 128 == 0 or b % 128 != 0 or c > 512 or c % 8 != 0:
+    # lane-aligned C (e.g. AlexNet rnorm2's 256): the conv emitters pick
+    # a C-minor layout for these, so riding the batch-minor r2d view
+    # inserts real transposes UNLESS XLA adapts the producer layout to
+    # the kernel's pinned operands (it does for rnorm1 — round-2
+    # lesson). Whether that nets out is an on-chip A/B:
+    # CONVNET_PLRN_CMINOR=1 opts these shapes in.
+    if c % 128 == 0 and os.environ.get("CONVNET_PLRN_CMINOR") != "1":
+        return "xla"
+    if b % 128 != 0 or c > 512 or c % 8 != 0:
         return "xla"
     # the fwd kernel holds a full image row's LRN output in f32 VMEM
     # (plus the double-buffered bf16 row slabs); bail out of the fused

@@ -71,6 +71,18 @@ def test_fused_bwd_wsplit_path(monkeypatch):
     np.testing.assert_allclose(np.asarray(dx_p), np.asarray(dx_x), rtol=1e-4, atol=1e-5)
 
 
+def test_fused_lane_aligned_c(monkeypatch):
+    """The CONVNET_PLRN_CMINOR=1 regime (lane-aligned C, e.g. AlexNet
+    rnorm2's 256): same kernel, C a multiple of 128 — vs the oracle."""
+    rng = np.random.RandomState(9)
+    x = jnp.asarray(np.round(rng.randn(4, 6, 6, 128) * 2) / 2, jnp.float32)
+    g = jnp.asarray(rng.randn(4, 3, 3, 128), jnp.float32)
+    y_p, dx_p = _vjp(x, g, "pallas", frac=5.0 / 128, monkeypatch=monkeypatch)
+    y_x, dx_x = _vjp(x, g, "xla", frac=5.0 / 128, monkeypatch=monkeypatch)
+    np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_x), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(dx_p), np.asarray(dx_x), rtol=1e-4, atol=1e-5)
+
+
 def test_fused_matches_autodiff_when_tie_free(monkeypatch):
     """On tie-free input the comparison form equals select-and-scatter,
     so the fused op's grad must equal autodiff of the plain composition."""
