@@ -257,8 +257,18 @@ def _watchdog_main():
         ladder = [(b, s, r) for _, _, r in ladder]
     attempt = 0
     last_err = "no attempts made"
-    while time.monotonic() < deadline - 30 and attempt < len(ladder):
-        batch, steps, reserve = ladder[attempt]
+    while time.monotonic() < deadline - 30:
+        # full-size attempts repeat while budget remains (a tunnel
+        # outage fails each one after its internal init retries — keep
+        # trying, recovery can come at any time); the tiny cache-warm
+        # fallback runs once when the window gets short
+        full_b, full_s, full_r = ladder[0]
+        if deadline - time.monotonic() - full_r >= 240:
+            batch, steps, reserve = ladder[0]
+            final_try = False
+        else:
+            batch, steps, reserve = ladder[-1]
+            final_try = True
         attempt += 1
         t = int(deadline - time.monotonic() - reserve)
         if t < 60:
@@ -298,6 +308,8 @@ def _watchdog_main():
         last_err = f"attempt {attempt} (batch={batch}) rc={rc}: {(err or '')[-400:]}"
         _debug(f"attempt FAILED: {last_err}")
         sys.stderr.write(f"bench: {last_err}\n")
+        if final_try:
+            break
 
     _debug(f"giving up: {last_err}")
     sys.stderr.write(f"bench failed: {last_err}\n")
