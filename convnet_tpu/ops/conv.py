@@ -118,10 +118,15 @@ def _s2d_regroup_weight(w, s):
 
 
 def _s2d_wgrad_mode() -> str:
-    """"explicit" (default) computes the s2d conv's weight gradient as
-    k'xk' dot_generals over shifted input slices; "conv" keeps XLA's
-    transposed-conv weight-grad. CONVNET_S2D_WGRAD overrides for A/B."""
-    return os.environ.get("CONVNET_S2D_WGRAD", "explicit")
+    """"conv" (default) keeps XLA's transposed-conv weight-grad —
+    the round-2 measured config (the trace shows conv1's wgrad as a
+    1.9 ms fused reduce at 135 TFLOP/s); "explicit" computes it as
+    k'xk' dot_generals over shifted input slices, which avoids the
+    full-tensor transposes but re-reads the cotangent per tap.
+    CONVNET_S2D_WGRAD overrides; the default follows the measured
+    winner of the chip A/B (tools/r3_chip3.py) — until that A/B has
+    run on hardware, the measured round-2 form stays the default."""
+    return os.environ.get("CONVNET_S2D_WGRAD", "conv")
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))

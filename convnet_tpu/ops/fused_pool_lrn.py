@@ -210,7 +210,12 @@ def _pick_wsplit(w: int, c: int, lb: int, itemsize: int) -> int:
     sublane tiling). CONVNET_PLRN_WSPLIT overrides."""
     override = os.environ.get("CONVNET_PLRN_WSPLIT")
     if override:
-        return int(override)
+        d = int(override)
+        # a non-divisor split would truncate the row tiling (tail of W
+        # never processed) — reject instead of computing garbage
+        if d < 1 or w % d:
+            raise ValueError(f"CONVNET_PLRN_WSPLIT={d} must divide W={w}")
+        return d
     budget = 1 << 19
     for d in range(1, w + 1):
         if w % d:

@@ -516,7 +516,16 @@ def _pick_k_r(m: int, c: int, b: int, bwd: bool) -> int:
 
     override = os.environ.get("CONVNET_LRN_TILE_R_BWD" if bwd else "CONVNET_LRN_TILE_R")
     if override:
-        return int(override)
+        k = int(override)
+        # the r2d grid is m // k with no ragged masking: a non-divisor
+        # would leave the output tail unwritten — silent garbage in an
+        # A/B sweep. Fail loudly instead.
+        if k < 1 or m % k:
+            raise ValueError(
+                f"CONVNET_LRN_TILE_R{'_BWD' if bwd else ''}={k} must divide "
+                f"M={m} (the r2d grid covers exactly m//k tiles)"
+            )
+        return k
     if bwd:
         return 1
     cap = max(1, _TILE_BYTES // (2 * c * max(b, 128)))  # bf16 block bytes

@@ -64,10 +64,22 @@ class Predictor:
         base_fwd = make_forward(graph, self.layers, jitter)
         jittered = frozenset(jitter or ())
 
-        # Inputs outside the jitter map still ride the wire at
-        # `input_dtype` and widen to f32 on device (a free fused cast),
-        # so a uint8 Predictor never ships 4x bytes just because a
-        # model has no eval prologue.
+        # Per-field wire dtype: with a jitter map, only its (image)
+        # fields take input_dtype — auxiliary inputs outside the map
+        # keep float32, so a uint8-compiled multi-input Predictor does
+        # not silently wrap float/int aux features through uint8. With
+        # no jitter map at all, input_dtype was requested for the whole
+        # model (the no-prologue uint8 wire format) and applies to
+        # every field.
+        self._wire_dtype = {
+            l.data_field: (
+                self._input_dtype
+                if (not jitter or l.data_field in jittered)
+                else np.dtype(np.float32)
+            )
+            for l in graph.input_layers
+        }
+
         def fwd(params, batch):
             batch = {
                 k: v if k in jittered else jnp.asarray(v, jnp.float32)
@@ -103,7 +115,7 @@ class Predictor:
                 spec = self._jitter[l.data_field][0]
                 h = w = self._raw_size or spec.image_size
             out[l.data_field] = jnp.zeros(
-                (self.batch_size, h, w, c), self._input_dtype
+                (self.batch_size, h, w, c), self._wire_dtype[l.data_field]
             )
         return out
 
@@ -115,19 +127,22 @@ class Predictor:
             raise ValueError(f"batch of {n} exceeds compiled batch_size {self.batch_size}")
         padded = {}
         for k, v in batch.items():
-            want = self._input_dtype
+            want = self._wire_dtype.get(k, self._input_dtype)
             v = np.asarray(v)
-            if want == np.uint8 and np.issubdtype(v.dtype, np.floating):
-                # np.uint8 casting silently WRAPS out-of-range floats
-                # (300.0 -> 44, -1.0 -> 255): a client shipping already-
-                # normalized float images to a uint8-compiled Predictor
-                # would get corrupted pixels, so fail loudly instead
-                raise TypeError(
-                    f"input {k!r}: this Predictor was compiled for uint8 "
-                    f"inputs but got {v.dtype}; pass raw 0..255 uint8 "
-                    "images (or build the Predictor with input_dtype="
-                    "float32)"
-                )
+            if want == np.uint8 and v.dtype != np.uint8:
+                # np.uint8 casting silently WRAPS out-of-range values
+                # (300 -> 44, -1.0 -> 255): a client shipping already-
+                # normalized floats or wide integers to a uint8-compiled
+                # Predictor would get corrupted pixels, so fail loudly
+                if np.issubdtype(v.dtype, np.floating) or (
+                    v.size and (v.min() < 0 or v.max() > 255)
+                ):
+                    raise TypeError(
+                        f"input {k!r}: this Predictor was compiled for uint8 "
+                        f"inputs but got {v.dtype} with values outside 0..255; "
+                        "pass raw 0..255 images (or build the Predictor with "
+                        "input_dtype=float32)"
+                    )
             v = np.asarray(v, want)
             if n < self.batch_size:
                 pad = np.repeat(v[-1:], self.batch_size - n, axis=0)

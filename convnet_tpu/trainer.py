@@ -374,23 +374,30 @@ class Trainer:
         return self._device_batch(stacked, stacked=True)
 
     def train(self, max_iter: Optional[int] = None, profile_dir: Optional[str] = None):
-        """Step loop. `profile_dir`: capture a jax.profiler trace of steps
-        5..15 (post-compile) into this directory (tensorboard-readable)."""
+        """Step loop. `profile_dir`: capture a jax.profiler trace of ~10
+        post-compile steps into this directory (tensorboard-readable).
+        The window scales with steps_per_launch: tracing starts at the
+        first launch boundary past the compile warmup and spans
+        ceil(10/k) launches, so a k >= 15 launch size still captures a
+        full launch instead of silently skipping the trace."""
         g = self.graph
         total = max_iter if max_iter is not None else g.max_iter
         window_metrics: List[Dict] = []
         t0 = time.time()
         start_step = int(self.state["step"])
         k = self.steps_per_launch
+        # [p_start, p_stop) in step numbers, aligned to launch boundaries
+        p_start = start_step + max(5, k)
+        p_stop = p_start + k * -(-10 // k)
         it = start_step
         next_batch = self._stage(min(k, total - it)) if it < total else None
         profiling = False
         while it < total:
             if profile_dir is not None:
-                if it >= start_step + 5 and not profiling and it < start_step + 15:
+                if not profiling and p_start <= it < p_stop:
                     jax.profiler.start_trace(profile_dir)
                     profiling = True
-                elif profiling and it >= start_step + 15:
+                elif profiling and it >= p_stop:
                     jax.tree.map(
                         lambda a: a.block_until_ready(), self.state["params"]
                     )
@@ -440,6 +447,13 @@ class Trainer:
                 t0 = time.time()
         if profiling:
             jax.profiler.stop_trace()
+            self.log(f"profile trace -> {profile_dir} (truncated at end of run)")
+        elif profile_dir is not None and it < p_start:
+            self.log(
+                f"WARNING: profile_dir given but the run ended at step {it} "
+                f"before the trace window (starts at step {p_start}); no "
+                "trace was captured"
+            )
         return self.state
 
     def validate(self, num_batches: Optional[int] = None) -> Tuple[float, float]:

@@ -121,9 +121,10 @@ def test_conv2d_space_to_depth_equals_dense(h, k, s, p, cin):
 
 def test_s2d_explicit_wgrad_matches_conv_wgrad(monkeypatch):
     """conv.py:_s2d_core's hand-written tap-matmul weight gradient
-    (CONVNET_S2D_WGRAD=explicit, the default) must equal XLA's
-    transposed-conv weight grad (=conv) bit-for-bit up to f32 roundoff,
-    including the ceil-mode overhang rows the s2d pre-pad introduces."""
+    (CONVNET_S2D_WGRAD=explicit) must equal XLA's transposed-conv
+    weight grad (=conv, the default pending the chip A/B) bit-for-bit
+    up to f32 roundoff, including the ceil-mode overhang rows the s2d
+    pre-pad introduces."""
     rng = np.random.RandomState(11)
     x = jnp.asarray(rng.randn(3, 29, 29, 3).astype(np.float32))
     w = jnp.asarray(0.1 * rng.randn(11, 11, 3, 6).astype(np.float32))

@@ -183,3 +183,52 @@ def test_predictor_uint8_without_jitter_casts_on_device():
         rtol=1e-5,
         atol=1e-6,
     )
+
+
+def test_predictor_uint8_multi_input_keeps_float_aux():
+    """With a jitter map, input_dtype=uint8 applies only to the jittered
+    (image) fields: auxiliary inputs outside the map keep a float32 wire
+    format, so float-valued aux features neither raise nor silently wrap
+    through uint8 (ADVICE r3: value 300 -> 44)."""
+    import numpy as np
+    import pytest
+
+    from convnet_tpu import config, model as model_lib
+    from convnet_tpu.data.jitter import JitterSpec
+    from convnet_tpu.graph import build_graph
+    from convnet_tpu.predictor import Predictor
+
+    g = build_graph(config.parse_model(
+        """
+        name: "paux"
+        layer { name: "img" is_input: true num_channels: 3 image_size: 8 }
+        layer { name: "side" is_input: true num_channels: 8 data_field: "side" }
+        layer { name: "h" num_channels: 8 activation: TANH }
+        layer { name: "output" is_output: true num_channels: 3 activation: SOFTMAX data_field: "labels" }
+        edge { source: "img" dest: "h" edge_type: FC initialization: DENSE_GAUSSIAN init_wt: 0.05 }
+        edge { source: "side" dest: "h" edge_type: FC initialization: DENSE_GAUSSIAN init_wt: 0.05 }
+        edge { source: "h" dest: "output" edge_type: FC initialization: DENSE_GAUSSIAN init_wt: 0.05 }
+        """
+    ))
+    params = model_lib.init_params(g)
+    img_field = next(l.data_field for l in g.input_layers if l.name == "img")
+    jit = {img_field: (JitterSpec(image_size=8, scale=1 / 255), None, None)}
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (2, 8, 8, 3), dtype=np.uint8)
+    # float aux features with values far outside 0..255 — must ride f32
+    side = (rng.randn(2, 1, 1, 8) * 300).astype(np.float32)
+
+    p8 = Predictor(g, params, batch_size=2, jitter=jit, input_dtype=np.uint8)
+    out8 = p8({img_field: img, "side": side})["output"]
+
+    pf = Predictor(g, params, batch_size=2, jitter=jit)
+    outf = pf({img_field: img.astype(np.float32), "side": side})["output"]
+    np.testing.assert_allclose(out8, outf, rtol=1e-5, atol=1e-6)
+
+    # the image field still enforces the uint8 wire format...
+    with pytest.raises(TypeError, match="uint8"):
+        p8({img_field: img.astype(np.float32), "side": side})
+    # ...including rejecting out-of-range integers (silent wrap: 300->44)
+    with pytest.raises(TypeError, match="uint8"):
+        p8({img_field: img.astype(np.int32) + 200, "side": side})

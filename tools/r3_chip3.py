@@ -134,6 +134,10 @@ print(
     f"{(results[('0','conv')]-results[best])*1e3:.2f} ms vs round-2 config)",
     flush=True,
 )
+# chipbatch env chaining: subsequent jobs (the greedy sweep) start from
+# this winner config
+print(f"CHIPBATCH_SETENV CONVNET_POOL_LRN_FUSED={best[0]}", flush=True)
+print(f"CHIPBATCH_SETENV CONVNET_S2D_WGRAD={best[1]}", flush=True)
 
 # --- 3. trace the winner -----------------------------------------------------
 step = make_train_step(graph, jitter)

@@ -34,7 +34,7 @@ print(f"platform={jax.devices()[0]}", flush=True)
 print(
     "base: fused=%s wgrad=%s" % (
         os.environ.get("CONVNET_POOL_LRN_FUSED", "0"),
-        os.environ.get("CONVNET_S2D_WGRAD", "explicit"),
+        os.environ.get("CONVNET_S2D_WGRAD", "conv"),
     ),
     flush=True,
 )
@@ -115,7 +115,7 @@ B_final = 2048 if dt2048 / 2 < best else 1024
 print(
     f"final: B={B_final} unroll={best_unroll} "
     f"fused={os.environ.get('CONVNET_POOL_LRN_FUSED', '0')} "
-    f"wgrad={os.environ.get('CONVNET_S2D_WGRAD', 'explicit')} "
+    f"wgrad={os.environ.get('CONVNET_S2D_WGRAD', 'conv')} "
     f"cminor={os.environ.get('CONVNET_PLRN_CMINOR', '0')} "
     f"prologue={os.environ.get('CONVNET_FUSED_PROLOGUE', '0')} "
     f"-> {(B_final/(dt2048/2 if B_final == 2048 else best)):.0f} img/s",
