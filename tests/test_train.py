@@ -222,6 +222,32 @@ def test_trainer_steps_per_launch_matches_single(tmp_path):
     assert any("loss" in ln for ln in logs[3])
 
 
+def test_trainer_checkpoint_cadence_under_unroll(tmp_path):
+    """Cadence semantics under steps_per_launch (docs/api.md): with
+    checkpoint_after=10 and k=4, saves fire at the first LAUNCH BOUNDARY
+    at or past each multiple — steps 12 and 20 over a 24-step run, never
+    mid-launch. (The reference fires at exact multiples; k=1 keeps that.)"""
+    from convnet_tpu import checkpoint as ckpt
+
+    m = config.parse_model(SMALL_NET)
+    m.checkpoint_after = 10
+    tr = Trainer(
+        build_graph(m),
+        make_handler(pipeline="false"),
+        checkpoint_dir=str(tmp_path),
+        log_fn=lambda *_: None,
+        steps_per_launch=4,
+    )
+    tr.train(max_iter=24)
+    tr.train_data.close()
+    saved_steps = sorted(
+        ckpt.load(os.path.join(tmp_path, f))[2]
+        for f in os.listdir(tmp_path)
+        if f.endswith(".h5")
+    )
+    assert saved_steps == [12, 20], saved_steps
+
+
 @pytest.mark.parametrize("pipeline", ["true", "false"])
 def test_trainer_e2e_dummy(tmp_path, pipeline):
     g = build_graph(config.parse_model(SMALL_NET))
