@@ -41,6 +41,30 @@ def test_inner_deadline_shrinks_steps(bench_module, capsys, monkeypatch):
     assert out["value"] > 0
 
 
+def test_ledger_round_trip_and_failure_context(bench_module, tmp_path, monkeypatch):
+    """A successful capture is remembered per-metric; a failed capture's
+    report can surface it as clearly-labeled stale context (value stays
+    0.0 either way — the ledger never substitutes for a measurement)."""
+    monkeypatch.setenv("BENCH_LEDGER", str(tmp_path / "ledger.json"))
+    m = bench_module.METRIC
+    assert bench_module._ledger_last_good(m) is None
+    bench_module._ledger_record(
+        {"metric": m, "value": 15000.0, "unit": "images/sec", "vs_baseline": 0.52}
+    )
+    bench_module._ledger_record(
+        {"metric": m + "_rawcache", "value": 14000.0, "unit": "images/sec",
+         "vs_baseline": 0.48}
+    )
+    got = bench_module._ledger_last_good(m)
+    assert got["value"] == 15000.0 and "ts" in got
+    assert bench_module._ledger_last_good(m + "_rawcache")["value"] == 14000.0
+    # newer success overwrites
+    bench_module._ledger_record(
+        {"metric": m, "value": 15500.0, "unit": "images/sec", "vs_baseline": 0.54}
+    )
+    assert bench_module._ledger_last_good(m)["value"] == 15500.0
+
+
 def _run(bench_module, capsys, batch, steps):
     bench_module.main(batch=batch, steps=steps)
     lines = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
