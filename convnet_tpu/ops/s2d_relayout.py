@@ -1,0 +1,261 @@
+"""Jitter -> space-to-depth relayout: one Pallas pass from the crop
+einsum's batch-major output to the first conv's batch-minor input.
+
+Reference counterpart: the GPU-side jitter feeding the first conv
+(src/datahandler.cc [U]). The round-2/3 XLA chain runs the one-hot
+crop/flip einsums and then FOUR separate full-tensor passes to get the
+bytes into conv1's preferred physical layout (v5e trace, batch 1024:
+relayout copy 1.10 ms + pad 0.97 + s2d reshape 1.00 + regroup copy
+1.03 = 4.1 ms of pure data movement; the round-3 fully-fused Pallas
+prologue lost instead on its dense per-image one-hot MXU matmuls).
+
+This module splits the work where each engine is strongest:
+
+ 1. The crop/flip one-hots stay BATCHED XLA einsums (the MXU runs them
+    at ~peak; per-image Pallas matmuls measured ~5x slower) — but they
+    emit a PHASE-MAJOR padded layout: row index i = rp*Pp + p and
+    column index j = cp*Pp + q map output position (p, q) of row/col
+    phases (rp, cp), with Pp = P rounded up to 16 so phase planes are
+    sublane-tile aligned. The ceil-mode zero pad is folded into the
+    one-hots (positions past the crop match no source column), and the
+    operand order is arranged so both dots produce their natural
+    (batch, lhs_free, rhs_free) dimension order — no HLO transposes.
+ 2. The affine normalize (scale/mean/std) + pad mask are elementwise
+    on the einsum output and fuse into its epilogue.
+ 3. A Pallas kernel performs ONLY the relayout: grid over (row-block,
+    col-phase, batch-chunk), in-VMEM (bn, 16, Pp)->(16, Pp, bn)
+    transposes, and writes conv1's exact preferred physical layout —
+    out logical (P, K, P, B) row-major == NHWC {0,2,3,1}, the layout
+    the v5e trace shows the conv emitter already asks for — so the
+    boundary into `ops.conv._s2d_core` is a bitcast. K order is
+    (row-phase, col-phase, cin), matching `_s2d_regroup_weight`.
+
+Total HBM traffic after the einsums: read (B, s*Pp, s*Pp, cin) bf16 +
+write (P, K, P, B) bf16 ~= 0.72 GB at AlexNet batch 1024 ~= 1.8 ms at
+the measured 400 GB/s Pallas floor, vs 4.1 ms for the XLA chain.
+Opt-in via CONVNET_S2D_RELAYOUT=1 until the chip A/B decides.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from convnet_tpu.graph import conv_out_size
+from convnet_tpu.ops.conv import S2DInput
+
+
+def relayout_geometry(crop: int, kernel: int, stride: int):
+    """(p_out, p_pad): ceil-mode s2d grid extent and its 16-aligned pad."""
+    p_out = conv_out_size(crop, kernel, stride, 0)
+    khp = -(-kernel // stride) * stride
+    tgt = (p_out - 1) * stride + khp
+    p_grid = tgt // stride  # s2d positions incl. the ceil-mode pad
+    p_pad = -(-p_grid // 16) * 16
+    return p_grid, p_pad
+
+
+@functools.lru_cache(maxsize=32)
+def _phase_maps(crop: int, s: int, pp: int):
+    """Static (target_position, valid) maps for the phase-major index."""
+    idx = np.arange(s * pp)
+    t = s * (idx % pp) + idx // pp
+    valid = t < crop
+    return t, valid
+
+
+def jitter_crop_phased(
+    x: jax.Array,
+    oy: jax.Array,
+    ox: jax.Array,
+    flips: Optional[jax.Array],
+    *,
+    crop: int,
+    stride: int,
+    p_pad: int,
+    scale: float = 1.0,
+    mean: Optional[np.ndarray] = None,
+    std: Optional[np.ndarray] = None,
+) -> jax.Array:
+    """One-hot crop+flip+normalize into the phase-major padded layout.
+
+    x: (B, H, W, C) uint8 raw batch. Returns bf16 (B, C, s*Pp, s*Pp)
+    with row i = rp*Pp + p, col j = cp*Pp + q <-> cropped pixel
+    (s*p + rp, s*q + cp); positions past the crop are exactly 0.
+    Operand order keeps both dots in natural dimension order (no HLO
+    transposes); the affine + mask fuse into the second dot's epilogue.
+    """
+    b, h, w, c = x.shape
+    s, pp = stride, p_pad
+    t, valid = _phase_maps(crop, s, pp)
+    tj = jnp.asarray(t)
+    vj = jnp.asarray(valid)
+
+    oh_rows = (
+        (oy[:, None] + tj[None, :])[:, :, None]
+        == jnp.arange(h)[None, None, :]
+    ) & vj[None, :, None]
+    tc = tj[None, :]
+    if flips is not None:
+        tc = jnp.where(flips[:, None], crop - 1 - tc, tc)
+    oh_cols = (
+        (ox[:, None] + tc)[:, :, None] == jnp.arange(w)[None, None, :]
+    ) & vj[None, :, None]
+
+    xb = jnp.transpose(x, (0, 3, 1, 2)).astype(jnp.bfloat16)  # (B,C,H,W)
+    # (b,c,h,w) x (b,i,h) -> (b,c,w,i): natural (batch, lhs_free, rhs_free)
+    y = jnp.einsum("bchw,bih->bcwi", xb, oh_rows.astype(jnp.bfloat16))
+    # (b,c,w,i) x (b,j,w) -> (b,c,i,j): natural order again
+    z = jnp.einsum("bcwi,bjw->bcij", y, oh_cols.astype(jnp.bfloat16))
+
+    zf = z.astype(jnp.float32)
+    if scale != 1.0:
+        zf = zf * scale
+    if mean is not None:
+        zf = zf - jnp.asarray(mean, jnp.float32).reshape(1, -1, 1, 1)
+    if std is not None:
+        zf = zf / jnp.asarray(std, jnp.float32).reshape(1, -1, 1, 1)
+    if mean is not None or std is not None:
+        # keep the folded ceil-mode pad exactly zero through the affine
+        zf = jnp.where((vj[:, None] & vj[None, :])[None, None, :, :], zf, 0.0)
+    return zf.astype(jnp.bfloat16)
+
+
+def _relayout_kernel(*refs, cin, p_out):
+    in_refs, out_ref = refs[:cin], refs[cin]
+    for ci in range(cin):
+        t = jnp.transpose(in_refs[ci][:], (1, 2, 0))  # (16, Pp, bn)
+        out_ref[:, ci, :, :] = t[:, :p_out, :]
+
+
+def _pick_bn(b: int) -> int:
+    override = os.environ.get("CONVNET_S2D_RELAYOUT_BN")
+    if override:
+        bn = int(override)
+        if bn < 128 or bn % 128 or b % bn:
+            raise ValueError(
+                f"CONVNET_S2D_RELAYOUT_BN={bn} must be a multiple of 128 "
+                f"dividing B={b}"
+            )
+        return bn
+    if b % 128:
+        raise ValueError(
+            f"s2d_relayout needs B % 128 == 0 (batch rides the lane axis), got {b}"
+        )
+    bn = 256
+    while bn > 128 and b % bn:
+        bn //= 2
+    return bn
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def s2d_relayout(z, stride, p_out, p_pad, interpret=False):
+    """(B, C, s*Pp, s*Pp) phase-major bf16 -> (B, P, P, s*s*C) s2d view
+    whose PHYSICAL layout is row-major (P, K, P, B) — the conv emitter's
+    preferred {0,2,3,1} NHWC layout, so both kernel boundaries are
+    bitcasts. K order (row-phase, col-phase, cin) matches
+    `ops.conv._s2d_regroup_weight`."""
+    return _relayout_fwd_impl(z, stride, p_out, p_pad, interpret)
+
+
+def _relayout_fwd_impl(z, stride, p_out, p_pad, interpret):
+    b, cin, n, _ = z.shape
+    s, pp = stride, p_pad
+    assert n == s * pp, (z.shape, stride, p_pad)
+    bn = _pick_bn(b)
+    bpr = pp // 16  # 16-row blocks per phase plane (pp % 16 == 0)
+    xcs = [z[:, ci] for ci in range(cin)]  # leading-dim slices: bitcasts
+    kernel = functools.partial(_relayout_kernel, cin=cin, p_out=p_out)
+    in_spec = pl.BlockSpec(
+        (bn, 16, pp), lambda h, cp, j: (j, h, cp), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(s * bpr, s, b // bn),
+        in_specs=[in_spec] * cin,
+        out_specs=pl.BlockSpec(
+            (16, cin, p_out, bn),
+            lambda h, cp, j: (h % bpr, (h // bpr) * s + cp, 0, j),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((p_out, s * s * cin, p_out, b), z.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=0,
+            bytes_accessed=2 * z.size * z.dtype.itemsize,
+            transcendentals=0,
+        ),
+        compiler_params=None
+        if interpret
+        else pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel")
+        ),
+        interpret=interpret,
+    )(*xcs)
+    # logical NHWC view; the transpose is a bitcast of the pinned layout
+    return jnp.transpose(out, (3, 0, 2, 1))
+
+
+def _relayout_fwd(z, stride, p_out, p_pad, interpret):
+    return _relayout_fwd_impl(z, stride, p_out, p_pad, interpret), None
+
+
+def _relayout_bwd(stride, p_out, p_pad, interpret, _, g):
+    # inverse arrangement in plain XLA ops — dead-code-eliminated when
+    # the s2d conv is the first edge (its input is data, cf. _s2d_core)
+    b = g.shape[0]
+    s, pp = stride, p_pad
+    cin = g.shape[3] // (s * s)
+    d = g.reshape(b, p_out, p_out, s, s, cin)
+    d = jnp.transpose(d, (0, 5, 3, 1, 4, 2))  # (B, C, rp, p, cp, q)
+    d = jnp.pad(
+        d, ((0, 0), (0, 0), (0, 0), (0, pp - p_out), (0, 0), (0, pp - p_out))
+    )
+    return (d.reshape(b, cin, s * pp, s * pp).astype(g.dtype),)
+
+
+s2d_relayout.defvjp(_relayout_fwd, _relayout_bwd)
+
+
+def relayout_wanted() -> bool:
+    """CONVNET_S2D_RELAYOUT=1 opts the jitter->conv1 input path into the
+    fused phase-major einsum + Pallas relayout (off until the chip A/B
+    decides — tools/chipbatch ledger, round 4)."""
+    return os.environ.get("CONVNET_S2D_RELAYOUT", "0") == "1"
+
+
+def jitter_s2d(
+    x: jax.Array,
+    oy: jax.Array,
+    ox: jax.Array,
+    flips: Optional[jax.Array],
+    *,
+    crop: int,
+    kernel: int,
+    stride: int,
+    scale: float = 1.0,
+    mean: Optional[np.ndarray] = None,
+    std: Optional[np.ndarray] = None,
+    interpret: bool = False,
+) -> S2DInput:
+    """Full fused path: raw uint8 batch -> S2DInput for the first conv.
+
+    Equivalent (bit-exact at bf16) to jitter_batch + conv2d's internal
+    pad/space-to-depth, with the data movement collapsed to one Pallas
+    pass. Requires B % 128 == 0 (the relayout batch chunk rides the
+    lane axis); callers gate on that.
+    """
+    p_grid, p_pad = relayout_geometry(crop, kernel, stride)
+    z = jitter_crop_phased(
+        x, oy, ox, flips,
+        crop=crop, stride=stride, p_pad=p_pad,
+        scale=scale, mean=mean, std=std,
+    )
+    xs = s2d_relayout(z, stride, p_grid, p_pad, interpret)
+    return S2DInput(xs, stride)

@@ -95,6 +95,44 @@ def _preprocess(graph: Graph, jitter: Optional[JitterMap], batch, rng, train: bo
             and jrng is not None
             and x.ndim == 4
             and x.dtype == jnp.uint8
+            and x.shape[0] % 128 == 0
+            and spec.can_translate
+            and (np.ndim(mean) <= 1 and np.ndim(std) <= 1)
+        ):
+            from convnet_tpu.ops.s2d_relayout import relayout_wanted
+
+            if relayout_wanted():
+                from convnet_tpu.data.jitter import sample_crop_flip
+                from convnet_tpu.ops.prologue import prologue_plan
+                from convnet_tpu.ops.s2d_relayout import jitter_s2d
+
+                layer = next(
+                    (l for l in graph.input_layers if l.data_field == field), None
+                )
+                edge = prologue_plan(graph, layer.name) if layer is not None else None
+                if edge is not None:
+                    b, h, w = x.shape[0], x.shape[1], x.shape[2]
+                    oy, ox, flips = sample_crop_flip(
+                        jrng, b, h, w, spec.image_size,
+                        spec.can_translate, spec.can_flip,
+                    )
+                    if oy is not None:
+                        out[field] = jitter_s2d(
+                            x, oy, ox, flips,
+                            crop=spec.image_size,
+                            kernel=edge.kernel_size,
+                            stride=edge.stride,
+                            scale=spec.scale,
+                            mean=mean,
+                            std=std,
+                            interpret=jax.default_backend() == "cpu",
+                        )
+                        continue
+        if (
+            train
+            and jrng is not None
+            and x.ndim == 4
+            and x.dtype == jnp.uint8
             and spec.can_translate
             and (np.ndim(mean) <= 1 and np.ndim(std) <= 1)
             and _fused_prologue_wanted()

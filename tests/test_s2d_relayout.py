@@ -1,0 +1,216 @@
+"""Phase-major jitter einsum + Pallas s2d relayout (ops/s2d_relayout.py)
+vs the composed XLA path it replaces (jitter_batch + conv2d's internal
+pad/space-to-depth). The replacement must be BIT-exact at bf16: the
+one-hot gathers select exact uint8 values and the affine runs in f32 in
+both paths, so any difference is a bug, not rounding."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from convnet_tpu import config
+from convnet_tpu.data.jitter import JitterSpec, jitter_batch, sample_crop_flip
+from convnet_tpu.graph import build_graph
+from convnet_tpu.ops.conv import ceil_mode_padding
+from convnet_tpu.ops.s2d_relayout import (
+    jitter_crop_phased,
+    jitter_s2d,
+    relayout_geometry,
+    s2d_relayout,
+)
+
+B, RAW, CROP, KERNEL, STRIDE = 128, 12, 9, 5, 4
+
+
+def _xla_s2d_view(x4, kernel, stride):
+    """The x-side transform of ops.conv._space_to_depth_conv: pad to the
+    ceil-mode extent and regroup (row-phase, col-phase, cin)."""
+    b, h, w, cin = x4.shape
+    s = stride
+    from convnet_tpu.graph import conv_out_size
+
+    out = conv_out_size(h, kernel, stride, 0)
+    khp = -(-kernel // s) * s
+    tgt = (out - 1) * s + khp
+    pad_h = ceil_mode_padding(h, kernel, stride, 0)
+    x4 = jnp.pad(x4, ((0, 0), (pad_h[0], tgt - h), (pad_h[0], tgt - w), (0, 0)))
+    return (
+        x4.reshape(b, tgt // s, s, tgt // s, s, cin)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(b, tgt // s, tgt // s, s * s * cin)
+    )
+
+
+def _ref_relayout(z, stride, p_out, p_pad):
+    """Plain-jnp reference for the Pallas relayout arrangement."""
+    b, cin, n, _ = z.shape
+    s, pp = stride, p_pad
+    z6 = z.reshape(b, cin, s, pp, s, pp)
+    return (
+        jnp.transpose(z6, (0, 3, 5, 2, 4, 1))[:, :p_out, :p_out]
+        .reshape(b, p_out, p_out, s * s * cin)
+    )
+
+
+def test_jitter_s2d_bit_exact_vs_xla_chain():
+    rng = np.random.RandomState(0)
+    x = rng.randint(0, 256, (B, RAW, RAW, 3), dtype=np.uint8)
+    key = jax.random.PRNGKey(7)
+    oy, ox, flips = sample_crop_flip(key, B, RAW, RAW, CROP, True, True)
+    mean = np.asarray([0.4, 0.5, 0.6], np.float32)
+
+    got = jitter_s2d(
+        jnp.asarray(x), oy, ox, flips,
+        crop=CROP, kernel=KERNEL, stride=STRIDE,
+        scale=1 / 255, mean=mean, interpret=True,
+    )
+    spec = JitterSpec(image_size=CROP, can_translate=True, can_flip=True, scale=1 / 255)
+    xj = jitter_batch(jnp.asarray(x), spec, key, True, mean=mean)
+    want = _xla_s2d_view(xj.astype(jnp.bfloat16), KERNEL, STRIDE)
+
+    assert got.stride == STRIDE
+    assert got.x.shape == want.shape
+    np.testing.assert_array_equal(
+        np.asarray(got.x, np.float32), np.asarray(want, np.float32)
+    )
+
+
+def test_phased_crop_pad_stays_zero_through_affine():
+    """Folded ceil-mode pad positions must be exactly 0 even with a
+    nonzero mean/std (the conv's implicit zero padding semantics)."""
+    rng = np.random.RandomState(1)
+    x = rng.randint(1, 256, (B, RAW, RAW, 3), dtype=np.uint8)
+    oy = jnp.zeros((B,), jnp.int32)
+    ox = jnp.zeros((B,), jnp.int32)
+    p_grid, p_pad = relayout_geometry(CROP, KERNEL, STRIDE)
+    z = jitter_crop_phased(
+        jnp.asarray(x), oy, ox, None,
+        crop=CROP, stride=STRIDE, p_pad=p_pad,
+        scale=1 / 255, mean=np.asarray([0.4, 0.5, 0.6], np.float32),
+        std=np.asarray([0.2, 0.2, 0.2], np.float32),
+    )
+    zf = np.asarray(z, np.float32)
+    t = STRIDE * (np.arange(STRIDE * p_pad) % p_pad) + (
+        np.arange(STRIDE * p_pad) // p_pad
+    )
+    invalid = t >= CROP
+    assert zf[:, :, invalid, :].max(initial=0) == 0
+    assert zf[:, :, invalid, :].min(initial=0) == 0
+    assert zf[:, :, :, invalid].max(initial=0) == 0
+    # and valid positions are NOT all zero (the mask isn't over-wide)
+    assert np.abs(zf[:, :, ~invalid][:, :, :, ~invalid]).max() > 0
+
+
+def test_relayout_kernel_and_vjp_match_reference():
+    rng = np.random.RandomState(2)
+    p_grid, p_pad = relayout_geometry(CROP, KERNEL, STRIDE)
+    z = jnp.asarray(
+        rng.randn(B, 3, STRIDE * p_pad, STRIDE * p_pad), jnp.bfloat16
+    )
+
+    got = s2d_relayout(z, STRIDE, p_grid, p_pad, True)
+    want = _ref_relayout(z, STRIDE, p_grid, p_pad)
+    np.testing.assert_array_equal(
+        np.asarray(got, np.float32), np.asarray(want, np.float32)
+    )
+
+    w = jnp.asarray(rng.randn(*got.shape), jnp.bfloat16)
+    g1 = jax.grad(lambda a: jnp.sum(s2d_relayout(a, STRIDE, p_grid, p_pad, True) * w).astype(jnp.float32))(z)
+    g2 = jax.grad(lambda a: jnp.sum(_ref_relayout(a, STRIDE, p_grid, p_pad) * w).astype(jnp.float32))(z)
+    np.testing.assert_array_equal(
+        np.asarray(g1, np.float32), np.asarray(g2, np.float32)
+    )
+
+
+NET = """
+name: "relayout"
+seed: 2
+compute_dtype: "bfloat16"
+activation_dtype: "bfloat16"
+layer { name: "input" is_input: true num_channels: 3 image_size: 9 }
+layer { name: "conv1" num_channels: 8 activation: RECTIFIED_LINEAR }
+layer { name: "output" is_output: true num_channels: 5 activation: SOFTMAX data_field: "labels" }
+edge { source: "input" dest: "conv1" edge_type: CONV kernel_size: 5 stride: 4 padding: 0
+       initialization: DENSE_GAUSSIAN init_wt: 0.1
+       weight_optimizer { base_epsilon: 0.05 initial_momentum: 0.9 final_momentum: 0.9 } }
+edge { source: "conv1" dest: "output" edge_type: FC initialization: DENSE_GAUSSIAN_SQRT_FAN_IN init_wt: 1.0
+       weight_optimizer { base_epsilon: 0.05 initial_momentum: 0.9 final_momentum: 0.9 } }
+"""
+
+
+def test_train_step_matches_default_path(monkeypatch):
+    """Full train step with CONVNET_S2D_RELAYOUT=1 equals the default
+    XLA chain (same augmentation stream, same conv route, same SGD)."""
+    from convnet_tpu.trainer import init_state, make_train_step
+
+    g = build_graph(config.parse_model(NET))
+    jitter = {
+        "input": (
+            JitterSpec(image_size=CROP, can_translate=True, can_flip=True, scale=1 / 255),
+            np.full((3,), 0.45, np.float32),
+            None,
+        )
+    }
+    rng = np.random.RandomState(3)
+    batches = [
+        {
+            "input": jnp.asarray(rng.randint(0, 256, (B, RAW, RAW, 3)).astype(np.uint8)),
+            "labels": jnp.asarray(rng.randint(0, 5, (B,)).astype(np.int32)),
+        }
+        for _ in range(2)
+    ]
+
+    results = {}
+    for mode in ("0", "1"):
+        monkeypatch.setenv("CONVNET_S2D_RELAYOUT", mode)
+        step = make_train_step(g, jitter)
+        s = init_state(g)
+        losses = []
+        for b in batches:
+            s, m = step(s, b)
+            losses.append(float(m["loss"]))
+        results[mode] = (losses, jax.device_get(s["params"]))
+
+    np.testing.assert_allclose(results["0"][0], results["1"][0], rtol=1e-5)
+    for e in results["0"][1]:
+        np.testing.assert_allclose(
+            np.asarray(results["0"][1][e]["w"]),
+            np.asarray(results["1"][1][e]["w"]),
+            rtol=1e-4, atol=1e-6, err_msg=e,
+        )
+
+
+def test_relayout_gate_requires_lane_aligned_batch(monkeypatch):
+    """B % 128 != 0 falls back to the default path (no crash)."""
+    from convnet_tpu.trainer import init_state, make_train_step
+
+    monkeypatch.setenv("CONVNET_S2D_RELAYOUT", "1")
+    g = build_graph(config.parse_model(NET))
+    jitter = {
+        "input": (
+            JitterSpec(image_size=CROP, can_translate=True, can_flip=True, scale=1 / 255),
+            None,
+            None,
+        )
+    }
+    rng = np.random.RandomState(4)
+    step = make_train_step(g, jitter)
+    s = init_state(g)
+    s, m = step(
+        s,
+        {
+            "input": jnp.asarray(rng.randint(0, 256, (8, RAW, RAW, 3)).astype(np.uint8)),
+            "labels": jnp.asarray(rng.randint(0, 5, (8,)).astype(np.int32)),
+        },
+    )
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_bn_override_validation(monkeypatch):
+    monkeypatch.setenv("CONVNET_S2D_RELAYOUT_BN", "192")
+    p_grid, p_pad = relayout_geometry(CROP, KERNEL, STRIDE)
+    z = jnp.zeros((B, 3, STRIDE * p_pad, STRIDE * p_pad), jnp.bfloat16)
+    with pytest.raises(ValueError, match="multiple of 128"):
+        s2d_relayout(z, STRIDE, p_grid, p_pad, True)
