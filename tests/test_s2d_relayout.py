@@ -23,6 +23,9 @@ from convnet_tpu.ops.s2d_relayout import (
 
 B, RAW, CROP, KERNEL, STRIDE = 128, 12, 9, 5, 4
 
+# compiled on the real chip under `make test-tpu`; interpreted on CPU
+INTERP = jax.default_backend() == "cpu"
+
 
 def _xla_s2d_view(x4, kernel, stride):
     """The x-side transform of ops.conv._space_to_depth_conv: pad to the
@@ -64,7 +67,7 @@ def test_jitter_s2d_bit_exact_vs_xla_chain():
     got = jitter_s2d(
         jnp.asarray(x), oy, ox, flips,
         crop=CROP, kernel=KERNEL, stride=STRIDE,
-        scale=1 / 255, mean=mean, interpret=True,
+        scale=1 / 255, mean=mean, interpret=INTERP,
     )
     spec = JitterSpec(image_size=CROP, can_translate=True, can_flip=True, scale=1 / 255)
     xj = jitter_batch(jnp.asarray(x), spec, key, True, mean=mean)
@@ -110,14 +113,14 @@ def test_relayout_kernel_and_vjp_match_reference():
         rng.randn(B, 3, STRIDE * p_pad, STRIDE * p_pad), jnp.bfloat16
     )
 
-    got = s2d_relayout(z, STRIDE, p_grid, p_pad, True)
+    got = s2d_relayout(z, STRIDE, p_grid, p_pad, INTERP)
     want = _ref_relayout(z, STRIDE, p_grid, p_pad)
     np.testing.assert_array_equal(
         np.asarray(got, np.float32), np.asarray(want, np.float32)
     )
 
     w = jnp.asarray(rng.randn(*got.shape), jnp.bfloat16)
-    g1 = jax.grad(lambda a: jnp.sum(s2d_relayout(a, STRIDE, p_grid, p_pad, True) * w).astype(jnp.float32))(z)
+    g1 = jax.grad(lambda a: jnp.sum(s2d_relayout(a, STRIDE, p_grid, p_pad, INTERP) * w).astype(jnp.float32))(z)
     g2 = jax.grad(lambda a: jnp.sum(_ref_relayout(a, STRIDE, p_grid, p_pad) * w).astype(jnp.float32))(z)
     np.testing.assert_array_equal(
         np.asarray(g1, np.float32), np.asarray(g2, np.float32)
@@ -213,4 +216,4 @@ def test_bn_override_validation(monkeypatch):
     p_grid, p_pad = relayout_geometry(CROP, KERNEL, STRIDE)
     z = jnp.zeros((B, 3, STRIDE * p_pad, STRIDE * p_pad), jnp.bfloat16)
     with pytest.raises(ValueError, match="multiple of 128"):
-        s2d_relayout(z, STRIDE, p_grid, p_pad, True)
+        s2d_relayout(z, STRIDE, p_grid, p_pad, INTERP)

@@ -110,6 +110,19 @@ else:
     del os.environ["CONVNET_FUSED_PROLOGUE"]
     print("prologue: dropped", flush=True)
 
+# round-4 factor: phase-major einsum + Pallas s2d relayout of the
+# jitter->conv1 input chain (ops/s2d_relayout.py; targets the 4.1 ms
+# relayout bin in the r2d trace). First compile costs ~150 s Mosaic.
+os.environ["CONVNET_S2D_RELAYOUT"] = "1"
+dt = measure(f"+ S2D_RELAYOUT=1 (unroll={best_unroll})", unroll=best_unroll)
+if dt < best:
+    best = dt
+    print("s2d_relayout: KEPT", flush=True)
+    print("CHIPBATCH_SETENV CONVNET_S2D_RELAYOUT=1", flush=True)
+else:
+    del os.environ["CONVNET_S2D_RELAYOUT"]
+    print("s2d_relayout: dropped", flush=True)
+
 dt2048 = measure(f"batch 2048 (unroll={best_unroll})", B=2048, unroll=best_unroll)
 B_final = 2048 if dt2048 / 2 < best else 1024
 print(
