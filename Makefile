@@ -17,7 +17,8 @@ test-tpu:  # hardware-eligible subset on the real chip (compiled Pallas)
 	CONVNET_TEST_TPU=1 CONVNET_DROPOUT_BACKEND=pallas python -m pytest \
 	    tests/test_ops.py tests/test_dropout.py tests/test_torch_parity.py \
 	    tests/test_prologue.py tests/test_fused_pool_lrn.py \
-	    tests/test_s2d_relayout.py tests/test_tpu_numerics.py -x -q
+	    tests/test_s2d_relayout.py tests/test_lrn_bias.py \
+	    tests/test_tpu_numerics.py -x -q
 
 bench:  # headline AlexNet img/s on the local accelerator
 	python bench.py

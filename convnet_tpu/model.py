@@ -37,7 +37,11 @@ from convnet_tpu.ops.fused_pool_lrn import (
     pool_lrn_fusion_wanted,
 )
 from convnet_tpu.ops.local import local_conv2d, local_weight_shape
-from convnet_tpu.ops.lrn import response_norm_cross_map
+from convnet_tpu.ops.lrn import (
+    lrn_bias_fusion_wanted,
+    response_norm_cross_map,
+    response_norm_cross_map_bias,
+)
 from convnet_tpu.ops.pool import maxpool2d
 from convnet_tpu.ops.resample import downsample, rgb_to_yuv, upsample
 
@@ -146,6 +150,8 @@ def init_params(graph: Graph, seed: Optional[int] = None) -> Params:
 def _edge_fprop(
     graph: Graph, e: EdgeSpec, p: Optional[Dict], x: jax.Array, cdt,
     fuse_relu: bool = False,
+    defer_bias: bool = False,
+    bias=None,
 ):
     t = e.edge_type
     # weighted edges return compute_dtype when set (pure-bf16 chain: the
@@ -157,6 +163,10 @@ def _edge_fprop(
         return z[:, None, None, :]
     if t == ET.CONV:
         z = conv2d(x, p["w"], e.stride, e.padding, compute_dtype=cdt)
+        if defer_bias:
+            # bias applied (and differentiated) by the consuming
+            # bias-fused response-norm edge — see apply_fn
+            return z
         return z + p["b"].astype(z.dtype)
     if t == ET.CONV_ONETOONE:
         z = conv_onetoone(x, p["w"], compute_dtype=cdt)
@@ -167,6 +177,19 @@ def _edge_fprop(
     if t == ET.MAXPOOL:
         return maxpool2d(x, e.kernel_size, e.stride, e.padding)
     if t == ET.RESPONSE_NORM:
+        if bias is not None:
+            # the producing conv's deferred bias: added in-kernel, and
+            # its gradient comes out of the backward kernel's per-tile
+            # sums instead of an XLA re-read of dz (ops/lrn.py)
+            return response_norm_cross_map_bias(
+                x,
+                bias,
+                e.add_scale,
+                e.pow_scale,
+                e.frac_of_filters_response_norm,
+                e.response_norm_blocked,
+                fuse_relu=fuse_relu,
+            )
         return response_norm_cross_map(
             x,
             e.add_scale,
@@ -231,6 +254,31 @@ def apply_fn(
     fuse_pool_lrn = train and pool_lrn_fusion_wanted()
     deferred_lrn: Dict[str, Tuple[EdgeSpec, jax.Array, bool]] = {}
 
+    # Bias deferral (opt-in, see ops/lrn.py response_norm_cross_map_bias):
+    # a conv layer whose preact feeds exactly one response-norm edge has
+    # its bias added INSIDE the LRN kernel, whose backward then emits the
+    # bias gradient from in-VMEM tile sums — without this XLA re-reads
+    # the full dz from HBM just to sum it (1.3 ms/step on AlexNet @1024).
+    # Static plan: layer name -> its single incoming conv edge.
+    defer_bias: Dict[str, EdgeSpec] = {}
+    if lrn_bias_fusion_wanted() and not fuse_pool_lrn:
+        for name in graph.topo_layer_order():
+            l = graph.layer(name)
+            inc = graph.incoming(name)
+            cons = [e2 for e2 in graph.edges if e2.source == name]
+            if (
+                not l.is_input
+                and not l.is_output
+                and l.activation == ACT.RECTIFIED_LINEAR
+                and l.dropprob == 0.0
+                and len(inc) == 1
+                and inc[0].edge_type == ET.CONV
+                and len(cons) == 1
+                and cons[0].edge_type == ET.RESPONSE_NORM
+            ):
+                defer_bias[name] = inc[0]
+    pending_bias: Dict[str, jax.Array] = {}
+
     drop_i = 0
     for name in graph.topo_layer_order():
         l = graph.layer(name)
@@ -294,16 +342,25 @@ def apply_fn(
                 )
                 if fuse:
                     x_in = preacts[e.source]
+                dbias = name in defer_bias and e.name == defer_bias[name].name
+                lrn_bias = pending_bias.get(e.source) if fuse else None
                 if graph.remat and train and e.has_weights:
                     # rematerialize: recompute this edge's output in the
                     # backward pass instead of storing it (Model.remat;
                     # trades FLOPs for HBM on big models/batches)
                     fprop = jax.checkpoint(
-                        lambda pp, xx, _e=e: _edge_fprop(graph, _e, pp, xx, cdt)
+                        lambda pp, xx, _e=e, _d=dbias: _edge_fprop(
+                            graph, _e, pp, xx, cdt, defer_bias=_d
+                        )
                     )
                     contrib = fprop(p, x_in)
                 else:
-                    contrib = _edge_fprop(graph, e, p, x_in, cdt, fuse_relu=fuse)
+                    contrib = _edge_fprop(
+                        graph, e, p, x_in, cdt, fuse_relu=fuse,
+                        defer_bias=dbias, bias=lrn_bias,
+                    )
+                if dbias:
+                    pending_bias[name] = p["b"]
                 z = contrib if z is None else z + contrib
             if l.is_output:
                 # losses and output activations run in >= f32
@@ -311,7 +368,16 @@ def apply_fn(
                 # promote — never downcast the x64 grad-check path)
                 z = z.astype(jnp.promote_types(z.dtype, jnp.float32))
                 out[f"{name}:preact"] = z.reshape(z.shape[0], -1)
-            a = apply_activation(z, l.activation)
+            if name in pending_bias:
+                # preact stores the bias-less conv output; the consuming
+                # bias-fused LRN edge adds it in-kernel. This activation
+                # (bias re-added here) is dead code when the LRN is the
+                # sole consumer — XLA eliminates it.
+                a = apply_activation(
+                    z + pending_bias[name].astype(z.dtype), l.activation
+                )
+            else:
+                a = apply_activation(z, l.activation)
             if (
                 l.activation == ACT.RECTIFIED_LINEAR
                 and not l.is_output

@@ -208,8 +208,17 @@ def _mm_window(v, bmat_ref, transpose: bool, f32_exact: bool):
     )
 
 
-def _lrn_fwd_kernel(x_ref, bmat_ref, y_ref, *, alpha, beta, f32_exact, relu):
+def _lrn_fwd_kernel(x_ref, bmat_ref, *rest, alpha, beta, f32_exact, relu, has_bias):
+    """rest = (bias_ref,) y_ref with bias fusion, else (y_ref,). The bias
+    (the producing conv edge's, deferred here by the model — see
+    response_norm_cross_map_bias) is added before the in-kernel ReLU, so
+    the conv's epilogue add and this kernel's read collapse into one."""
+    y_ref = rest[-1]
     x = x_ref[:].astype(jnp.float32)
+    if has_bias:
+        # f32 bias add (one rounding FEWER than the unfused graph's
+        # materialized bf16 `conv_out + bias` — strictly more accurate)
+        x = x + rest[0][:]
     if relu:
         x = jnp.maximum(x, 0.0)
     s = _mm_window(x * x, bmat_ref, False, f32_exact)
@@ -217,9 +226,17 @@ def _lrn_fwd_kernel(x_ref, bmat_ref, y_ref, *, alpha, beta, f32_exact, relu):
     y_ref[:] = (x * _neg_pow(d, beta)).astype(y_ref.dtype)
 
 
-def _lrn_bwd_kernel(g_ref, x_ref, bmat_ref, dx_ref, *, alpha, beta, f32_exact, relu):
+def _lrn_bwd_kernel(
+    g_ref, x_ref, bmat_ref, *rest, alpha, beta, f32_exact, relu, has_bias
+):
+    """rest = (bias_ref, dx_ref, db_ref) with bias fusion, else (dx_ref,).
+    db_ref accumulates this tile's column sums of dz (the bias gradient
+    partial) — the alternative is XLA re-reading the full dx from HBM
+    (measured 0.79 ms at rnorm1 batch-1024 scale, r2d trace round 4)."""
     g = g_ref[:].astype(jnp.float32)
     z = x_ref[:].astype(jnp.float32)
+    if has_bias:
+        z = z + rest[0][:]
     x = jnp.maximum(z, 0.0) if relu else z
     s = _mm_window(x * x, bmat_ref, False, f32_exact)
     d = 1.0 + alpha * s
@@ -228,7 +245,11 @@ def _lrn_bwd_kernel(g_ref, x_ref, bmat_ref, dx_ref, *, alpha, beta, f32_exact, r
     dx = g * pb - 2.0 * alpha * beta * x * inner
     if relu:
         dx = jnp.where(z > 0.0, dx, 0.0)
-    dx_ref[:] = dx.astype(dx_ref.dtype)
+    if has_bias:
+        rest[1][:] = dx.astype(rest[1].dtype)
+        rest[2][:] = jnp.sum(dx, axis=0, keepdims=True)
+    else:
+        rest[0][:] = dx.astype(rest[0].dtype)
 
 
 def _fold_factor(m: int, c: int, dtype) -> int:
@@ -286,7 +307,7 @@ def _bmat_spec(c):
     return pl.BlockSpec((c, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
 
 
-def _pallas_fwd(x2d, n, blocked, alpha, beta, interpret, relu=False):
+def _pallas_fwd(x2d, n, blocked, alpha, beta, interpret, relu=False, bias=None):
     m0, c0 = x2d.shape
     fold = _fold_factor(m0, c0, x2d.dtype)
     m, c = m0 // fold, c0 * fold
@@ -294,15 +315,23 @@ def _pallas_fwd(x2d, n, blocked, alpha, beta, interpret, relu=False):
     tile_m = _pick_tile(m, c)
     f32_exact = x2d.dtype == jnp.float32
     kernel = functools.partial(
-        _lrn_fwd_kernel, alpha=alpha, beta=beta, f32_exact=f32_exact, relu=relu
+        _lrn_fwd_kernel, alpha=alpha, beta=beta, f32_exact=f32_exact, relu=relu,
+        has_bias=bias is not None,
     )
+    operands = [x2d, jnp.asarray(_folded_band(c0, n, blocked, fold))]
+    in_specs = [
+        pl.BlockSpec((tile_m, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        _bmat_spec(c),
+    ]
+    if bias is not None:
+        operands.append(jnp.tile(bias.astype(jnp.float32), fold)[None, :])
+        in_specs.append(
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
+        )
     y = pl.pallas_call(
         kernel,
         grid=(pl.cdiv(m, tile_m),),
-        in_specs=[
-            pl.BlockSpec((tile_m, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            _bmat_spec(c),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (tile_m, c), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
@@ -313,41 +342,67 @@ def _pallas_fwd(x2d, n, blocked, alpha, beta, interpret, relu=False):
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x2d, jnp.asarray(_folded_band(c0, n, blocked, fold)))
+    )(*operands)
     return y.reshape(m0, c0)
 
 
-def _pallas_bwd(g2d, x2d, n, blocked, alpha, beta, interpret, relu=False):
+def _pallas_bwd(g2d, x2d, n, blocked, alpha, beta, interpret, relu=False, bias=None):
+    """Returns dx, or (dx, db) when `bias` is given — db computed from
+    in-VMEM per-tile column sums instead of an XLA re-read of dx."""
     m0, c0 = x2d.shape
     fold = _fold_factor(m0, c0, x2d.dtype)
     m, c = m0 // fold, c0 * fold
     x2d = x2d.reshape(m, c)
     g2d = g2d.reshape(m, c)
     tile_m = _pick_tile(m, c)
+    grid_m = pl.cdiv(m, tile_m)
+    # bias fusion needs exact tiling: a ragged last tile's padding rows
+    # are masked on the dx WRITE but would still pollute the db sums
+    assert bias is None or m % tile_m == 0
     f32_exact = x2d.dtype == jnp.float32
     kernel = functools.partial(
-        _lrn_bwd_kernel, alpha=alpha, beta=beta, f32_exact=f32_exact, relu=relu
+        _lrn_bwd_kernel, alpha=alpha, beta=beta, f32_exact=f32_exact, relu=relu,
+        has_bias=bias is not None,
     )
-    dx = pl.pallas_call(
+    operands = [g2d, x2d, jnp.asarray(_folded_band(c0, n, blocked, fold))]
+    in_specs = [
+        pl.BlockSpec((tile_m, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_m, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        _bmat_spec(c),
+    ]
+    dx_spec = pl.BlockSpec((tile_m, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    dx_shape = jax.ShapeDtypeStruct((m, c), g2d.dtype)
+    if bias is not None:
+        operands.append(jnp.tile(bias.astype(jnp.float32), fold)[None, :])
+        in_specs.append(
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
+        )
+        out_specs = (
+            dx_spec,
+            pl.BlockSpec((1, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        )
+        out_shape = (dx_shape, jax.ShapeDtypeStruct((grid_m, c), jnp.float32))
+    else:
+        out_specs, out_shape = dx_spec, dx_shape
+    res = pl.pallas_call(
         kernel,
-        grid=(pl.cdiv(m, tile_m),),
-        in_specs=[
-            pl.BlockSpec((tile_m, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_m, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            _bmat_spec(c),
-        ],
-        out_specs=pl.BlockSpec(
-            (tile_m, c), lambda i: (i, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((m, c), g2d.dtype),
+        grid=(grid_m,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=4 * m * c * c + 14 * m * c,
             bytes_accessed=3 * _bytes(x2d),
             transcendentals=0,
         ),
         interpret=interpret,
-    )(g2d, x2d, jnp.asarray(_folded_band(c0, n, blocked, fold)))
-    return dx.reshape(m0, c0)
+    )(*operands)
+    if bias is None:
+        return res.reshape(m0, c0)
+    dx, db_part = res
+    # partials are (grid, fold*c0): sum tiles, then the fold copies
+    db = db_part.sum(0).reshape(fold, c0).sum(0)
+    return dx.reshape(m0, c0), db
 
 
 # ---------------------------------------------------------------------------
@@ -466,8 +521,14 @@ def _pallas_t(call_bwd, arrays, n, alpha, beta, interpret, relu=False):
 # ---------------------------------------------------------------------------
 
 
-def _lrn_fwd_kernel_r(x_ref, bmat_ref, y_ref, *, alpha, beta, relu):
+def _lrn_fwd_kernel_r(x_ref, bmat_ref, *rest, alpha, beta, relu, has_bias):
+    """rest = (bias_ref,) y_ref with bias fusion (bias rides as a
+    (k*C, 1) column, per-channel values tiled over the k image
+    positions), else (y_ref,)."""
+    y_ref = rest[-1]
     x = x_ref[:].astype(jnp.float32)
+    if has_bias:
+        x = x + rest[0][:]
     if relu:
         x = jnp.maximum(x, 0.0)
     # s = kron(I_k, band) @ v : contract rows
@@ -479,9 +540,14 @@ def _lrn_fwd_kernel_r(x_ref, bmat_ref, y_ref, *, alpha, beta, relu):
     y_ref[:] = (x * _neg_pow(d, beta)).astype(y_ref.dtype)
 
 
-def _lrn_bwd_kernel_r(g_ref, x_ref, bmat_ref, dx_ref, *, alpha, beta, relu):
+def _lrn_bwd_kernel_r(g_ref, x_ref, bmat_ref, *rest, alpha, beta, relu, has_bias):
+    """rest = (bias_ref, dx_ref, db_ref) with bias fusion, else
+    (dx_ref,). db_ref gets this tile's lane (batch) sums of dz —
+    see _lrn_bwd_kernel."""
     g = g_ref[:].astype(jnp.float32)
     z = x_ref[:].astype(jnp.float32)
+    if has_bias:
+        z = z + rest[0][:]
     x = jnp.maximum(z, 0.0) if relu else z
     s = jax.lax.dot_general(
         bmat_ref[:], x * x, (((1,), (0,)), ((), ())),
@@ -497,7 +563,11 @@ def _lrn_bwd_kernel_r(g_ref, x_ref, bmat_ref, dx_ref, *, alpha, beta, relu):
     dx = g * pb - 2.0 * alpha * beta * x * inner
     if relu:
         dx = jnp.where(z > 0.0, dx, 0.0)
-    dx_ref[:] = dx.astype(dx_ref.dtype)
+    if has_bias:
+        rest[1][:] = dx.astype(rest[1].dtype)
+        rest[2][:] = jnp.sum(dx, axis=1)[None, :]
+    else:
+        rest[0][:] = dx.astype(rest[0].dtype)
 
 
 def _pick_k_r(m: int, c: int, b: int, bwd: bool) -> int:
@@ -542,27 +612,46 @@ def _block_band(c: int, n: int, blocked: bool, k: int) -> np.ndarray:
     return np.kron(np.eye(k, dtype=np.float32), _band_matrix(c, n, blocked))
 
 
-def _pallas_r(call_bwd, arrays, n, blocked, alpha, beta, interpret, relu=False):
+def _pallas_r(call_bwd, arrays, n, blocked, alpha, beta, interpret, relu=False,
+              bias=None):
     """Driver for the r2d kernels. arrays: (x,) or (g, x), each (H, W, C, B);
     both the transpose into this layout and the 2D reshape are bitcasts of
-    the batch-minor physical bytes."""
+    the batch-minor physical bytes. With `bias`, the fwd adds it in-kernel
+    and the bwd additionally returns db (batch+position sums of dz)."""
     h, w, c, b = arrays[0].shape
     m = h * w
     k = _pick_k_r(m, c, b, call_bwd)
     rows = k * c
+    grid_m = m // k
     arrs = [a.reshape(m * c, b) for a in arrays]
     spec = pl.BlockSpec((rows, b), lambda i: (i, 0), memory_space=pltpu.VMEM)
     bspec = pl.BlockSpec((rows, rows), lambda i: (0, 0), memory_space=pltpu.VMEM)
     kernel = functools.partial(
         _lrn_bwd_kernel_r if call_bwd else _lrn_fwd_kernel_r,
-        alpha=alpha, beta=beta, relu=relu,
+        alpha=alpha, beta=beta, relu=relu, has_bias=bias is not None,
     )
+    in_specs = [spec] * len(arrs) + [bspec]
+    operands = arrs + [jnp.asarray(_block_band(c, n, blocked, k))]
+    if bias is not None:
+        operands.append(jnp.tile(bias.astype(jnp.float32), k)[:, None])
+        in_specs.append(
+            pl.BlockSpec((rows, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
+        )
+    dx_shape = jax.ShapeDtypeStruct((m * c, b), arrs[0].dtype)
+    if call_bwd and bias is not None:
+        out_specs = (
+            spec,
+            pl.BlockSpec((1, rows), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        )
+        out_shape = (dx_shape, jax.ShapeDtypeStruct((grid_m, rows), jnp.float32))
+    else:
+        out_specs, out_shape = spec, dx_shape
     out = pl.pallas_call(
         kernel,
-        grid=(m // k,),
-        in_specs=[spec] * len(arrs) + [bspec],
-        out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((m * c, b), arrs[0].dtype),
+        grid=(grid_m,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=2 * len(arrs) * m * c * rows * b + 14 * m * c * b,
             bytes_accessed=(len(arrs) + 1) * _bytes(arrs[0]),
@@ -572,7 +661,11 @@ def _pallas_r(call_bwd, arrays, n, blocked, alpha, beta, interpret, relu=False):
         if interpret
         else pltpu.CompilerParams(dimension_semantics=("parallel",)),
         interpret=interpret,
-    )(*arrs, jnp.asarray(_block_band(c, n, blocked, k)))
+    )(*operands)
+    if call_bwd and bias is not None:
+        dx, db_part = out
+        db = db_part.sum(0).reshape(k, c).sum(0)
+        return dx.reshape(h, w, c, b), db
     return out.reshape(h, w, c, b)
 
 
@@ -738,6 +831,139 @@ def _lrn_bwd_vjp(add_scale, pow_scale, frac, blocked, backend, fuse_relu, x, g):
 
 
 response_norm_cross_map.defvjp(_lrn_fwd_vjp, _lrn_bwd_vjp)
+
+
+# ---------------------------------------------------------------------------
+# Bias-fused variant: LRN over (x + b) with db emitted by the kernel
+# ---------------------------------------------------------------------------
+
+
+def _bias_fusable(x, blocked: bool, backend: str) -> bool:
+    """The in-kernel bias path needs a shipping Pallas form (r2d or
+    exact-tiled folded-2D). Everything else composes x + b in XLA —
+    numerically identical, just without the db-re-read saving."""
+    c = x.shape[-1]
+    if not _use_pallas(backend, c) or blocked or x.ndim != 4:
+        return False
+    form = _pick_form(c, x.shape[0])
+    if form == "r2d":
+        return True
+    if form == "2d":
+        b_, h_, w_, c_ = x.shape
+        fold = _fold_factor(h_ * w_ * b_, c_, x.dtype)
+        m = h_ * w_ * b_ // fold
+        return m % _pick_tile(m, c_ * fold) == 0
+    return False
+
+
+def lrn_bias_fusion_wanted() -> bool:
+    """CONVNET_LRN_BIAS_FUSED=1 defers eligible conv biases into the
+    response-norm kernel (model.apply_fn) — off until the chip A/B
+    (expected ~1.3 ms/step on AlexNet @1024: the two reduce re-reads in
+    the round-4 trace)."""
+    import os
+
+    return os.environ.get("CONVNET_LRN_BIAS_FUSED", "0") == "1"
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
+def response_norm_cross_map_bias(
+    x: jax.Array,
+    b: jax.Array,
+    add_scale: float,
+    pow_scale: float,
+    frac_of_filters: float,
+    blocked: bool = False,
+    backend: str = "auto",
+    fuse_relu: bool = False,
+) -> jax.Array:
+    """response_norm_cross_map(x + b) with the bias add fused into the
+    kernel and — the point — the bias GRADIENT emitted as in-VMEM
+    per-tile sums by the backward kernel. Without this, XLA derives db
+    from the bias-add node by RE-READING the full dz from HBM (0.79 ms
+    for rnorm1 + 0.51 ms for rnorm2 at batch 1024, round-4 r2d trace).
+    The model defers an eligible conv edge's bias here
+    (CONVNET_LRN_BIAS_FUSED=1, see model.apply_fn).
+
+    x: the conv output WITHOUT bias; b: (C,) bias. With fuse_relu the
+    in-kernel order is relu(x + b) — exactly the graph's conv+bias ->
+    relu -> LRN chain."""
+    return _lrn_fwd_b(
+        x, b, add_scale, pow_scale, frac_of_filters, blocked, backend, fuse_relu
+    )
+
+
+def _lrn_fwd_b(x, b, add_scale, pow_scale, frac, blocked, backend, relu):
+    c = x.shape[-1]
+    n = norm_window_size(c, frac)
+    alpha = add_scale / n
+    beta = float(pow_scale)
+    if _bias_fusable(x, blocked, backend):
+        interp = jax.default_backend() == "cpu"
+        form = _pick_form(c, x.shape[0])
+        if form == "r2d":
+            xt = jnp.transpose(x, (1, 2, 3, 0))
+            yt = _pallas_r(
+                False, (xt,), n, blocked, alpha, beta, interp, relu=relu, bias=b
+            )
+            return jnp.transpose(yt, (3, 0, 1, 2)).astype(x.dtype)
+        b_, h_, w_, c_ = x.shape
+        x2 = jnp.transpose(x, (1, 2, 0, 3)).reshape(-1, c)
+        y2 = _pallas_fwd(
+            x2, n, blocked, alpha, beta, interpret=interp, relu=relu, bias=b
+        )
+        return jnp.transpose(y2.reshape(h_, w_, b_, c_), (2, 0, 1, 3)).astype(x.dtype)
+    # composed fallback: identical math, bias added by XLA
+    return _lrn_fwd(
+        x + b.astype(x.dtype), add_scale, pow_scale, frac, blocked, backend, relu
+    )
+
+
+def _lrn_fwd_b_vjp(x, b, add_scale, pow_scale, frac, blocked, backend, fuse_relu):
+    y = _lrn_fwd_b(x, b, add_scale, pow_scale, frac, blocked, backend, fuse_relu)
+    return y, (x, b)
+
+
+def _lrn_bwd_b_vjp(add_scale, pow_scale, frac, blocked, backend, fuse_relu, res, g):
+    x, b = res
+    c = x.shape[-1]
+    n = norm_window_size(c, frac)
+    alpha = add_scale / n
+    beta = float(pow_scale)
+    if _bias_fusable(x, blocked, backend):
+        interp = jax.default_backend() == "cpu"
+        form = _pick_form(c, x.shape[0])
+        if form == "r2d":
+            xt = jnp.transpose(x, (1, 2, 3, 0))
+            gt = jnp.transpose(g.astype(x.dtype), (1, 2, 3, 0))
+            dxt, db = _pallas_r(
+                True, (gt, xt), n, blocked, alpha, beta, interp,
+                relu=fuse_relu, bias=b,
+            )
+            return (
+                jnp.transpose(dxt, (3, 0, 1, 2)).astype(x.dtype),
+                db.astype(b.dtype),
+            )
+        b_, h_, w_, c_ = x.shape
+        x2 = jnp.transpose(x, (1, 2, 0, 3)).reshape(-1, c)
+        g2 = jnp.transpose(g.astype(x.dtype), (1, 2, 0, 3)).reshape(-1, c)
+        dx2, db = _pallas_bwd(
+            g2, x2, n, blocked, alpha, beta, interpret=interp,
+            relu=fuse_relu, bias=b,
+        )
+        dx4 = jnp.transpose(dx2.reshape(h_, w_, b_, c_), (2, 0, 1, 3))
+        return dx4.astype(x.dtype), db.astype(b.dtype)
+    # composed fallback: dx via the unbiased backward on z = x + b;
+    # db is the XLA reduction (what the fused path avoids)
+    (dx,) = _lrn_bwd_vjp(
+        add_scale, pow_scale, frac, blocked, backend, fuse_relu,
+        x + b.astype(x.dtype), g,
+    )
+    db = jnp.sum(dx.astype(jnp.float32), axis=tuple(range(dx.ndim - 1)))
+    return dx, db.astype(b.dtype)
+
+
+response_norm_cross_map_bias.defvjp(_lrn_fwd_b_vjp, _lrn_bwd_b_vjp)
 
 
 def response_norm_reference(x, add_scale, pow_scale, frac, blocked=False):

@@ -1,0 +1,202 @@
+"""Bias-fused response norm (ops/lrn.py response_norm_cross_map_bias):
+LRN over (x + b) with the bias gradient emitted by the backward kernel
+instead of an XLA re-read of dz.
+
+Equality vs the composed form response_norm_cross_map(x + b):
+- f32: EXACT (both paths round the add once).
+- bf16: one-ulp tolerance on z — the composed graph materializes
+  bf16(x + b) while the fused kernel's add feeds the f32 widen
+  directly (XLA elides double-rounding for storage-typed bf16), so the
+  fused path is one rounding MORE precise, not less.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from convnet_tpu import config
+from convnet_tpu.graph import build_graph
+from convnet_tpu.ops.lrn import (
+    _bias_fusable,
+    response_norm_cross_map,
+    response_norm_cross_map_bias,
+)
+
+FRAC, ADD, POW = 0.8, 0.001, 0.75
+
+
+def _compare(x, b, fuse_relu, backend, exact, db_tol):
+    from convnet_tpu.ops.lrn import response_norm_reference
+
+    rng = np.random.RandomState(7)
+    w = jnp.asarray(rng.randn(*x.shape), jnp.float32)
+
+    def fused(xx, bb):
+        y = response_norm_cross_map_bias(
+            xx, bb, ADD, POW, FRAC, False, backend, fuse_relu
+        )
+        return jnp.sum(y.astype(jnp.float32) * w)
+
+    def composed(xx, bb):
+        y = response_norm_cross_map(
+            xx + bb.astype(xx.dtype), ADD, POW, FRAC, False, backend, fuse_relu
+        )
+        return jnp.sum(y.astype(jnp.float32) * w)
+
+    def oracle(xx, bb):
+        # straight-line f32 reference; its autodiff is ground truth
+        z = xx.astype(jnp.float32) + bb
+        if fuse_relu:
+            z = jnp.maximum(z, 0.0)
+        return jnp.sum(response_norm_reference(z, ADD, POW, FRAC, False) * w)
+
+    y1 = response_norm_cross_map_bias(x, b, ADD, POW, FRAC, False, backend, fuse_relu)
+    (dx1, db1) = jax.grad(fused, (0, 1))(x, b)
+    if exact:
+        # f32: both paths round the add once — bit-identical
+        y2 = response_norm_cross_map(
+            x + b.astype(x.dtype), ADD, POW, FRAC, False, backend, fuse_relu
+        )
+        dx2 = jax.grad(composed, 0)(x, b)
+        np.testing.assert_array_equal(
+            np.asarray(y1, np.float32), np.asarray(y2, np.float32)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(dx1, np.float32), np.asarray(dx2, np.float32)
+        )
+    else:
+        # bf16: judge against the f32 oracle with a scale-normalized
+        # max error (plain rtol explodes on near-zero y where the
+        # composed path's extra bf16 rounding of z flips the value)
+
+        def oracle_y(xx, bb):
+            z = xx.astype(jnp.float32) + bb
+            if fuse_relu:
+                z = jnp.maximum(z, 0.0)
+            from convnet_tpu.ops.lrn import response_norm_reference
+
+            return response_norm_reference(z, ADD, POW, FRAC, False)
+
+        yo = np.asarray(oracle_y(x, b), np.float32)
+        dxo = np.asarray(jax.grad(oracle, 0)(x, b), np.float32)
+        for got, want in ((y1, yo), (dx1, dxo)):
+            g32 = np.asarray(got, np.float32)
+            scale = np.abs(want).max() + 1e-12
+            assert np.abs(g32 - want).max() / scale < 2e-2
+    # judge db against the f32 ORACLE, not the composed path: the fused
+    # kernel sums the pre-cast f32 dz (more accurate), while the
+    # composed graph's db is a bf16 accumulation (measured ~5% off
+    # truth at these sizes — a numerics IMPROVEMENT of the fusion)
+    db_o = np.asarray(jax.grad(oracle, 1)(x, b), np.float32)
+    scale = np.abs(db_o).max() + 1e-12
+    np.testing.assert_allclose(
+        np.asarray(db1, np.float32) / scale, db_o / scale, atol=db_tol
+    )
+
+
+@pytest.mark.parametrize("fuse_relu", [False, True])
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+def test_bias_fused_r2d_form(fuse_relu, dtype):
+    """B % 128 == 0, C not lane-aligned -> the r2d kernel path."""
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(128, 5, 5, 6), dtype)
+    b = jnp.asarray(rng.randn(6), jnp.float32)
+    assert _bias_fusable(x, False, "pallas")
+    exact = dtype == "float32"
+    _compare(x, b, fuse_relu, "pallas", exact, db_tol=1e-5 if exact else 1e-2)
+
+
+@pytest.mark.parametrize("fuse_relu", [False, True])
+def test_bias_fused_2d_form(fuse_relu):
+    """Exactly-tiled folded-2D path (C=4 folds 32x, m divides its tile)."""
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(64, 4, 4, 4), jnp.bfloat16)
+    b = jnp.asarray(rng.randn(4), jnp.float32)
+    assert _bias_fusable(x, False, "pallas")
+    _compare(x, b, fuse_relu, "pallas", exact=False, db_tol=1e-2)
+
+
+def test_bias_composed_fallback_paths():
+    """Ineligible shapes/backends compose x + b in XLA — exact."""
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(6, 5, 5, 6), jnp.float32)
+    b = jnp.asarray(rng.randn(6), jnp.float32)
+    assert not _bias_fusable(x, False, "xla")
+    _compare(x, b, False, "xla", exact=True, db_tol=1e-5)
+
+
+NET = """
+name: "biasfuse"
+seed: 2
+layer { name: "input" is_input: true num_channels: 3 image_size: 12 }
+layer { name: "conv1" num_channels: 6 activation: RECTIFIED_LINEAR }
+layer { name: "rnorm1" num_channels: 6 }
+layer { name: "output" is_output: true num_channels: 5 activation: SOFTMAX data_field: "labels" }
+edge { source: "input" dest: "conv1" edge_type: CONV kernel_size: 3 stride: 1 padding: 1
+       initialization: DENSE_GAUSSIAN init_wt: 0.1
+       weight_optimizer { base_epsilon: 0.05 initial_momentum: 0.9 final_momentum: 0.9 } }
+edge { source: "conv1" dest: "rnorm1" edge_type: RESPONSE_NORM
+       frac_of_filters_response_norm: 0.8 add_scale: 0.001 pow_scale: 0.75 }
+edge { source: "rnorm1" dest: "output" edge_type: FC initialization: DENSE_GAUSSIAN_SQRT_FAN_IN init_wt: 1.0
+       weight_optimizer { base_epsilon: 0.05 initial_momentum: 0.9 final_momentum: 0.9 } }
+"""
+
+
+def test_train_step_matches_default_f32_exact(monkeypatch):
+    """Full f32 train step with CONVNET_LRN_BIAS_FUSED=1 equals the
+    default path to f32-reduction tolerance (the deferral changes where
+    the bias is added, not what is computed); the deferred conv bias
+    still learns through the LRN edge's custom VJP."""
+    from convnet_tpu.trainer import init_state, make_train_step
+
+    monkeypatch.setenv("CONVNET_LRN_BACKEND", "pallas")  # CPU would skip
+    g = build_graph(config.parse_model(NET))
+    rng = np.random.RandomState(3)
+    batches = [
+        {
+            "input": jnp.asarray(rng.randn(128, 12, 12, 3).astype(np.float32)),
+            "labels": jnp.asarray(rng.randint(0, 5, (128,)).astype(np.int32)),
+        }
+        for _ in range(2)
+    ]
+    results = {}
+    for mode in ("0", "1"):
+        monkeypatch.setenv("CONVNET_LRN_BIAS_FUSED", mode)
+        step = make_train_step(g)
+        s = init_state(g)
+        losses = []
+        for bt in batches:
+            s, m = step(s, bt)
+            losses.append(float(m["loss"]))
+        results[mode] = (losses, jax.device_get(s["params"]))
+
+    np.testing.assert_allclose(results["0"][0], results["1"][0], rtol=1e-6)
+    for e in results["0"][1]:
+        for field in ("w", "b"):
+            if field not in results["0"][1][e]:
+                continue
+            np.testing.assert_allclose(
+                np.asarray(results["0"][1][e][field], np.float32),
+                np.asarray(results["1"][1][e][field], np.float32),
+                rtol=1e-5, atol=1e-7, err_msg=f"{e}/{field}",
+            )
+    b1 = np.asarray(results["1"][1]["input:conv1"]["b"])
+    assert np.abs(b1).max() > 0  # the deferred bias gradient is live
+
+
+def test_defer_skipped_under_pool_lrn_fusion(monkeypatch):
+    """With the pool+LRN fusion active the bias deferral must stand down
+    (the lrn_maxpool path reads the biased preact)."""
+    from convnet_tpu.model import apply_fn, init_params
+
+    monkeypatch.setenv("CONVNET_LRN_BIAS_FUSED", "1")
+    monkeypatch.setenv("CONVNET_POOL_LRN_FUSED", "1")
+    g = build_graph(config.parse_model(NET))
+    params = init_params(g, seed=0)
+    rng = np.random.RandomState(4)
+    batch = {"input": jnp.asarray(rng.randn(8, 12, 12, 3).astype(np.float32))}
+    outs = apply_fn(g, params, batch, train=True,
+                    dropout_rng=jax.random.PRNGKey(0), return_layers=["rnorm1"])
+    assert np.isfinite(np.asarray(outs["rnorm1"], np.float32)).all()
