@@ -34,6 +34,7 @@ from convnet_tpu.ops.dropout import dropout as dropout_op
 from convnet_tpu.ops.fused_pool_lrn import (
     fusion_applicable,
     lrn_maxpool,
+    lrn_maxpool_bias,
     pool_lrn_fusion_wanted,
 )
 from convnet_tpu.ops.local import local_conv2d, local_weight_shape
@@ -256,12 +257,13 @@ def apply_fn(
 
     # Bias deferral (opt-in, see ops/lrn.py response_norm_cross_map_bias):
     # a conv layer whose preact feeds exactly one response-norm edge has
-    # its bias added INSIDE the LRN kernel, whose backward then emits the
-    # bias gradient from in-VMEM tile sums — without this XLA re-reads
-    # the full dz from HBM just to sum it (1.3 ms/step on AlexNet @1024).
+    # its bias added INSIDE the LRN kernel (or the fused pool+LRN kernel
+    # when that path is active), whose backward then emits the bias
+    # gradient from in-VMEM tile sums — without this XLA re-reads the
+    # full dz from HBM just to sum it (1.3 ms/step on AlexNet @1024).
     # Static plan: layer name -> its single incoming conv edge.
     defer_bias: Dict[str, EdgeSpec] = {}
-    if lrn_bias_fusion_wanted() and not fuse_pool_lrn:
+    if lrn_bias_fusion_wanted():
         for name in graph.topo_layer_order():
             l = graph.layer(name)
             inc = graph.incoming(name)
@@ -311,17 +313,32 @@ def apply_fn(
             for e in graph.incoming(name):
                 if e.source in deferred_lrn:
                     le, x_src, frelu = deferred_lrn[e.source]
-                    contrib = lrn_maxpool(
-                        x_src,
-                        le.add_scale,
-                        le.pow_scale,
-                        le.frac_of_filters_response_norm,
-                        le.response_norm_blocked,
-                        e.kernel_size,
-                        e.stride,
-                        e.padding,
-                        frelu,
-                    )
+                    lb = pending_bias.get(le.source)
+                    if lb is not None:
+                        contrib = lrn_maxpool_bias(
+                            x_src,
+                            lb,
+                            le.add_scale,
+                            le.pow_scale,
+                            le.frac_of_filters_response_norm,
+                            le.response_norm_blocked,
+                            e.kernel_size,
+                            e.stride,
+                            e.padding,
+                            frelu,
+                        )
+                    else:
+                        contrib = lrn_maxpool(
+                            x_src,
+                            le.add_scale,
+                            le.pow_scale,
+                            le.frac_of_filters_response_norm,
+                            le.response_norm_blocked,
+                            e.kernel_size,
+                            e.stride,
+                            e.padding,
+                            frelu,
+                        )
                     z = contrib if z is None else z + contrib
                     continue
                 p = params.get(e.name)

@@ -139,10 +139,18 @@ def _fused_bwd_kernel(
     alpha: float,
     beta: float,
     relu: bool,
+    has_bias: bool,
 ):
     g_refs = refs[:nv]
     m_refs = refs[nv : 2 * nv]
-    z_ref, bmat_ref, dz_ref = refs[2 * nv :]
+    if has_bias:
+        # extra input: (kb*c, 1) f32 bias column (channel values tiled
+        # over the kb positions); extra output: per-tile lane sums of
+        # dz — the bias gradient partials (see ops/lrn.py, same trick)
+        z_ref, bmat_ref, bias_ref, dz_ref, db_ref = refs[2 * nv :]
+    else:
+        z_ref, bmat_ref, dz_ref = refs[2 * nv :]
+        bias_ref = db_ref = None
     i = pl.program_id(1)
     h2 = pl.program_id(2)
     wc = w // wsplit
@@ -156,6 +164,8 @@ def _fused_bwd_kernel(
     for t in range(wc // kb):
         sl = slice(t * rows, (t + 1) * rows)
         z_t = zb[sl].astype(jnp.float32)
+        if has_bias:
+            z_t = z_t + bias_ref[:]
         _, _, _, y_t = _chunk_lrn_y(z_t, bmat_ref, alpha, beta, relu, zb.dtype)
         ys.append(y_t)
     # pool-max comparisons run in f32: Mosaic has no cmpf on packed
@@ -184,6 +194,8 @@ def _fused_bwd_kernel(
     for t in range(wc // kb):
         sl = slice(t * rows, (t + 1) * rows)
         z_t = zb[sl].astype(jnp.float32)
+        if has_bias:
+            z_t = z_t + bias_ref[:]
         x, pb, dpow, _ = _chunk_lrn_y(z_t, bmat_ref, alpha, beta, relu, zb.dtype)
         g_t = g2[sl]
         inner = lax.dot_general(
@@ -194,6 +206,8 @@ def _fused_bwd_kernel(
         if relu:
             dx = jnp.where(z_t > 0.0, dx, 0.0)
         dz_ref[sl] = dx.astype(dz_ref.dtype)
+        if has_bias:
+            db_ref[0, 0, sl] = jnp.sum(dx, axis=1)
 
 
 @functools.lru_cache(maxsize=64)
@@ -237,8 +251,9 @@ def _pick_kb(wc: int, c: int) -> int:
 
 
 def _pallas_fused_bwd(
-    gm, m, z, *, n, blocked, alpha, beta, relu, k, s, interpret
+    gm, m, z, *, n, blocked, alpha, beta, relu, k, s, interpret, bias=None
 ):
+    """Returns dz, or (dz, db) when `bias` is given."""
     b, h, w, c = z.shape
     _, oh, ow, _ = m.shape
     zt = jnp.transpose(z, (1, 2, 3, 0)).reshape(h * w * c, b)
@@ -269,19 +284,43 @@ def _pallas_fused_bwd(
         _fused_bwd_kernel,
         nv=nv, h=h, w=w, c=c, lb=lb, oh=oh, ow=ow, k=k, s=s,
         wsplit=wsplit, kb=kb, alpha=alpha, beta=beta, relu=relu,
+        has_bias=bias is not None,
     )
-    dz2 = pl.pallas_call(
-        kernel,
-        grid=(b // lb, h, wsplit),
-        in_specs=[pool_spec(v) for v in range(nv)] * 2
-        + [
+    in_specs = [pool_spec(v) for v in range(nv)] * 2 + [
+        row_spec,
+        pl.BlockSpec(
+            (kb * c, kb * c), lambda jb, i, h2: (0, 0), memory_space=pltpu.VMEM
+        ),
+    ]
+    operands = [gt] * nv + [mt] * nv + [zt, bmat]
+    dz_shape = jax.ShapeDtypeStruct((h * w * c, b), z.dtype)
+    if bias is not None:
+        operands.append(jnp.tile(bias.astype(jnp.float32), kb)[:, None])
+        in_specs.append(
+            pl.BlockSpec(
+                (kb * c, 1), lambda jb, i, h2: (0, 0), memory_space=pltpu.VMEM
+            )
+        )
+        out_specs = (
             row_spec,
             pl.BlockSpec(
-                (kb * c, kb * c), lambda jb, i, h2: (0, 0), memory_space=pltpu.VMEM
+                (1, 1, wc * c),
+                lambda jb, i, h2: (jb, i * wsplit + h2, 0),
+                memory_space=pltpu.VMEM,
             ),
-        ],
-        out_specs=row_spec,
-        out_shape=jax.ShapeDtypeStruct((h * w * c, b), z.dtype),
+        )
+        out_shape = (
+            dz_shape,
+            jax.ShapeDtypeStruct((b // lb, h * wsplit, wc * c), jnp.float32),
+        )
+    else:
+        out_specs, out_shape = row_spec, dz_shape
+    out = pl.pallas_call(
+        kernel,
+        grid=(b // lb, h, wsplit),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=6 * h * w * c * (kb * c) * b + 10 * nv * nv * h * w * c * b,
             bytes_accessed=_nbytes(zt) * 2 + _nbytes(mt) * 2 * nv,
@@ -293,8 +332,12 @@ def _pallas_fused_bwd(
             dimension_semantics=("parallel", "parallel", "parallel")
         ),
         interpret=interpret,
-    )(*([gt] * nv + [mt] * nv + [zt, bmat]))
-    return jnp.transpose(dz2.reshape(h, w, c, b), (3, 0, 1, 2))
+    )(*operands)
+    if bias is None:
+        return jnp.transpose(out.reshape(h, w, c, b), (3, 0, 1, 2))
+    dz2, db_part = out
+    db = db_part.sum((0, 1)).reshape(wc, c).sum(0)
+    return jnp.transpose(dz2.reshape(h, w, c, b), (3, 0, 1, 2)), db
 
 
 def _nbytes(a):
@@ -325,8 +368,7 @@ def _pool_cols(y_slab, s: int, t: int, ow: int):
 def _fused_fwd_kernel(
     z_ref,
     bmat_ref,
-    m_ref,
-    *,
+    *rest,
     h: int,
     w: int,
     c: int,
@@ -338,6 +380,7 @@ def _fused_fwd_kernel(
     alpha: float,
     beta: float,
     relu: bool,
+    has_bias: bool,
 ):
     """Grid (B/LB, OH, k): step (jb, i, v) reads image row s*i + v of z,
     computes that row's LRN output y in VMEM (shared _chunk_lrn_y
@@ -346,6 +389,8 @@ def _fused_fwd_kernel(
     output never touches HBM; vs the unfused chain (LRN writes y 594 MB,
     pool reads it back + the conv output once more at AlexNet rnorm1/
     B=1024) this saves ~2 HBM round-trips of the layer."""
+    bias_ref = rest[0] if has_bias else None
+    m_ref = rest[-1]
     i = pl.program_id(1)
     v = pl.program_id(2)
     rows = kb * c
@@ -354,6 +399,8 @@ def _fused_fwd_kernel(
     for t in range(w // kb):
         sl = slice(t * rows, (t + 1) * rows)
         z_t = zb[sl].astype(jnp.float32)
+        if has_bias:
+            z_t = z_t + bias_ref[:]
         _, _, _, y_t = _chunk_lrn_y(z_t, bmat_ref, alpha, beta, relu, zb.dtype)
         ys.append(y_t)
     y = jnp.concatenate(ys, axis=0).reshape(w, c, lb).astype(jnp.float32)
@@ -376,7 +423,8 @@ def _fused_fwd_kernel(
         )
 
 
-def _pallas_fused_fwd(z, *, n, blocked, alpha, beta, relu, k, s, interpret):
+def _pallas_fused_fwd(z, *, n, blocked, alpha, beta, relu, k, s, interpret,
+                      bias=None):
     from convnet_tpu.graph import conv_out_size
 
     b, h, w, c = z.shape
@@ -389,21 +437,30 @@ def _pallas_fused_fwd(z, *, n, blocked, alpha, beta, relu, k, s, interpret):
     kernel = functools.partial(
         _fused_fwd_kernel,
         h=h, w=w, c=c, lb=lb, ow=ow, k=k, s=s, kb=kb,
-        alpha=alpha, beta=beta, relu=relu,
+        alpha=alpha, beta=beta, relu=relu, has_bias=bias is not None,
     )
+    in_specs = [
+        pl.BlockSpec(
+            (w * c, lb),
+            lambda jb, i, v: (jnp.clip(i * s + v, 0, h - 1), jb),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (kb * c, kb * c), lambda jb, i, v: (0, 0), memory_space=pltpu.VMEM
+        ),
+    ]
+    operands = [zt, bmat]
+    if bias is not None:
+        operands.append(jnp.tile(bias.astype(jnp.float32), kb)[:, None])
+        in_specs.append(
+            pl.BlockSpec(
+                (kb * c, 1), lambda jb, i, v: (0, 0), memory_space=pltpu.VMEM
+            )
+        )
     m2 = pl.pallas_call(
         kernel,
         grid=(b // lb, oh, k),
-        in_specs=[
-            pl.BlockSpec(
-                (w * c, lb),
-                lambda jb, i, v: (jnp.clip(i * s + v, 0, h - 1), jb),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (kb * c, kb * c), lambda jb, i, v: (0, 0), memory_space=pltpu.VMEM
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (ow * c, lb), lambda jb, i, v: (i, jb), memory_space=pltpu.VMEM
         ),
@@ -419,7 +476,7 @@ def _pallas_fused_fwd(z, *, n, blocked, alpha, beta, relu, k, s, interpret):
             dimension_semantics=("parallel", "parallel", "arbitrary")
         ),
         interpret=interpret,
-    )(zt, bmat)
+    )(*operands)
     return jnp.transpose(m2.reshape(oh, ow, c, b), (3, 0, 1, 2))
 
 
@@ -537,7 +594,12 @@ def _lrn_maxpool_bwd(
     n = norm_window_size(c, frac)
     alpha = add_scale / n
     beta = float(pow_scale)
-    if x.ndim == 4 and _fused_backend(backend, x.shape, ppad) == "pallas":
+    # branch on the RESIDUAL, not a re-evaluation of _fused_backend: the
+    # env override can legitimately change between the fwd and bwd
+    # executions (e.g. an eager jax.grad where the caller scopes the env
+    # around the loss call only), and the bwd must pair with whichever
+    # forward actually ran (y is VMEM-only on the Pallas path)
+    if y is None:
         interp = jax.default_backend() == "cpu"
         dz = _pallas_fused_bwd(
             gm, m, x,
@@ -554,6 +616,79 @@ def _lrn_maxpool_bwd(
 
 
 lrn_maxpool.defvjp(_lrn_maxpool_fwd, _lrn_maxpool_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8, 9, 10))
+def lrn_maxpool_bias(
+    x: jax.Array,
+    b: jax.Array,
+    add_scale: float,
+    pow_scale: float,
+    frac_of_filters: float,
+    blocked: bool,
+    pool_kernel: int,
+    pool_stride: int,
+    pool_padding: int = 0,
+    fuse_relu: bool = False,
+    backend: str = "auto",
+) -> jax.Array:
+    """lrn_maxpool(x + b) with the producing conv's bias fused into both
+    kernels and the bias GRADIENT emitted from the fused backward's
+    in-VMEM tile sums (see ops/lrn.py response_norm_cross_map_bias — the
+    same 1.3 ms of XLA dz re-reads, for the pool-fused path)."""
+    return _lrn_maxpool_bias_fwd(
+        x, b, add_scale, pow_scale, frac_of_filters, blocked,
+        pool_kernel, pool_stride, pool_padding, fuse_relu, backend,
+    )[0]
+
+
+def _lrn_maxpool_bias_fwd(
+    x, b, add_scale, pow_scale, frac, blocked, pk, ps, ppad, fuse_relu, backend
+):
+    if x.ndim == 4 and _fused_backend(backend, x.shape, ppad) == "pallas":
+        c = x.shape[-1]
+        n = norm_window_size(c, frac)
+        m = _pallas_fused_fwd(
+            x,
+            n=n, blocked=blocked, alpha=add_scale / n, beta=float(pow_scale),
+            relu=fuse_relu, k=pk, s=ps,
+            interpret=jax.default_backend() == "cpu",
+            bias=b,
+        )
+        return m, (x, b, None, m)
+    z = x + b.astype(x.dtype)
+    y = _lrn_fwd(z, add_scale, pow_scale, frac, blocked, "auto", fuse_relu)
+    m = maxpool2d(y, pk, ps, ppad)
+    return m, (x, b, y, m)
+
+
+def _lrn_maxpool_bias_bwd(
+    add_scale, pow_scale, frac, blocked, pk, ps, ppad, fuse_relu, backend, res, gm
+):
+    x, b, y, m = res
+    c = x.shape[-1]
+    n = norm_window_size(c, frac)
+    alpha = add_scale / n
+    beta = float(pow_scale)
+    # pair with the forward that ran — see _lrn_maxpool_bwd
+    if y is None:
+        dz, db = _pallas_fused_bwd(
+            gm, m, x,
+            n=n, blocked=blocked, alpha=alpha, beta=beta, relu=fuse_relu,
+            k=pk, s=ps, interpret=jax.default_backend() == "cpu",
+            bias=b,
+        )
+        return dz.astype(x.dtype), db.astype(b.dtype)
+    g_lrn = maxpool2d_undo_reference(y, m, gm, pk, ps, ppad)
+    z = (x + b.astype(x.dtype)).astype(jnp.float32)
+    dz = _bwd_math(
+        g_lrn.astype(jnp.float32), z, n, blocked, c, alpha, beta, relu=fuse_relu
+    )
+    db = jnp.sum(dz, axis=tuple(range(dz.ndim - 1)))
+    return dz.astype(x.dtype), db.astype(b.dtype)
+
+
+lrn_maxpool_bias.defvjp(_lrn_maxpool_bias_fwd, _lrn_maxpool_bias_bwd)
 
 
 def pool_lrn_fusion_wanted() -> bool:

@@ -186,17 +186,110 @@ def test_train_step_matches_default_f32_exact(monkeypatch):
     assert np.abs(b1).max() > 0  # the deferred bias gradient is live
 
 
-def test_defer_skipped_under_pool_lrn_fusion(monkeypatch):
-    """With the pool+LRN fusion active the bias deferral must stand down
-    (the lrn_maxpool path reads the biased preact)."""
-    from convnet_tpu.model import apply_fn, init_params
+NET_POOL = NET.replace(
+    'edge { source: "rnorm1" dest: "output"',
+    """layer { name: "pool1" num_channels: 6 }
+edge { source: "rnorm1" dest: "pool1" edge_type: MAXPOOL kernel_size: 3 stride: 2 }
+edge { source: "pool1" dest: "output\"""",
+).replace('source: "rnorm1" dest: "pool1"', 'source: "rnorm1" dest: "pool1"')
 
-    monkeypatch.setenv("CONVNET_LRN_BIAS_FUSED", "1")
+
+def test_pool_fused_bias_op_matches_composed():
+    """lrn_maxpool_bias == lrn_maxpool(x + b) in fwd/dz (f32 exact; both
+    use the reference comparison-form pool gradient) and db matches the
+    composed path's reduction."""
+    from convnet_tpu.ops.fused_pool_lrn import lrn_maxpool, lrn_maxpool_bias
+
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(128, 9, 9, 6), jnp.float32)
+    b = jnp.asarray(rng.randn(6), jnp.float32)
+    w = None
+
+    def run(backend_env, fn, *args):
+        import os
+
+        old = os.environ.get("CONVNET_POOL_LRN_BACKEND")
+        os.environ["CONVNET_POOL_LRN_BACKEND"] = backend_env
+        try:
+            return fn(*args)
+        finally:
+            if old is None:
+                del os.environ["CONVNET_POOL_LRN_BACKEND"]
+            else:
+                os.environ["CONVNET_POOL_LRN_BACKEND"] = old
+
+    for backend_env in ("pallas", "xla"):
+        y1 = run(
+            backend_env, lambda: lrn_maxpool_bias(
+                x, b, ADD, POW, FRAC, False, 3, 2, 0, True
+            )
+        )
+        y2 = run(
+            backend_env, lambda: lrn_maxpool(
+                x + b, ADD, POW, FRAC, False, 3, 2, 0, True
+            )
+        )
+        np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+        if w is None:
+            w = jnp.asarray(np.random.RandomState(8).randn(*y1.shape), jnp.float32)
+
+        def fused_loss(xx, bb, _be=backend_env):
+            return run(
+                _be, lambda: jnp.sum(
+                    lrn_maxpool_bias(xx, bb, ADD, POW, FRAC, False, 3, 2, 0, True) * w
+                )
+            )
+
+        def comp_loss(xx, bb, _be=backend_env):
+            return run(
+                _be, lambda: jnp.sum(
+                    lrn_maxpool(xx + bb, ADD, POW, FRAC, False, 3, 2, 0, True) * w
+                )
+            )
+
+        dx1, db1 = jax.grad(fused_loss, (0, 1))(x, b)
+        dx2, db2 = jax.grad(comp_loss, (0, 1))(x, b)
+        np.testing.assert_array_equal(np.asarray(dx1), np.asarray(dx2))
+        np.testing.assert_allclose(
+            np.asarray(db1), np.asarray(db2), rtol=1e-5, atol=1e-4,
+            err_msg=backend_env,
+        )
+
+
+def test_train_step_pool_fused_bias_matches(monkeypatch):
+    """Pool+LRN fusion active: the bias deferral routes through
+    lrn_maxpool_bias and the f32 train step equals bias-fusion-off."""
+    from convnet_tpu.trainer import init_state, make_train_step
+
     monkeypatch.setenv("CONVNET_POOL_LRN_FUSED", "1")
-    g = build_graph(config.parse_model(NET))
-    params = init_params(g, seed=0)
-    rng = np.random.RandomState(4)
-    batch = {"input": jnp.asarray(rng.randn(8, 12, 12, 3).astype(np.float32))}
-    outs = apply_fn(g, params, batch, train=True,
-                    dropout_rng=jax.random.PRNGKey(0), return_layers=["rnorm1"])
-    assert np.isfinite(np.asarray(outs["rnorm1"], np.float32)).all()
+    monkeypatch.setenv("CONVNET_POOL_LRN_BACKEND", "pallas")
+    g = build_graph(config.parse_model(NET_POOL))
+    rng = np.random.RandomState(6)
+    batches = [
+        {
+            "input": jnp.asarray(rng.randn(128, 12, 12, 3).astype(np.float32)),
+            "labels": jnp.asarray(rng.randint(0, 5, (128,)).astype(np.int32)),
+        }
+        for _ in range(2)
+    ]
+    results = {}
+    for mode in ("0", "1"):
+        monkeypatch.setenv("CONVNET_LRN_BIAS_FUSED", mode)
+        step = make_train_step(g)
+        s = init_state(g)
+        losses = []
+        for bt in batches:
+            s, m = step(s, bt)
+            losses.append(float(m["loss"]))
+        results[mode] = (losses, jax.device_get(s["params"]))
+
+    np.testing.assert_allclose(results["0"][0], results["1"][0], rtol=1e-6)
+    for e in results["0"][1]:
+        for field in ("w", "b"):
+            if field not in results["0"][1][e]:
+                continue
+            np.testing.assert_allclose(
+                np.asarray(results["0"][1][e][field], np.float32),
+                np.asarray(results["1"][1][e][field], np.float32),
+                rtol=1e-5, atol=1e-7, err_msg=f"{e}/{field}",
+            )
