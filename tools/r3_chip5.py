@@ -125,17 +125,18 @@ else:
 
 # round-4 factor: conv bias deferred into the LRN kernels (db from
 # in-VMEM tile sums; targets the 1.3 ms reduce re-reads in the r2d
-# trace). Only plain-LRN paths use it, so skip if pool+LRN fusion won.
-if os.environ.get("CONVNET_POOL_LRN_FUSED", "0") != "1":
-    os.environ["CONVNET_LRN_BIAS_FUSED"] = "1"
-    dt = measure(f"+ LRN_BIAS_FUSED=1 (unroll={best_unroll})", unroll=best_unroll)
-    if dt < best:
-        best = dt
-        print("lrn_bias: KEPT", flush=True)
-        print("CHIPBATCH_SETENV CONVNET_LRN_BIAS_FUSED=1", flush=True)
-    else:
-        del os.environ["CONVNET_LRN_BIAS_FUSED"]
-        print("lrn_bias: dropped", flush=True)
+# trace). Covers both the plain-LRN path (response_norm_cross_map_bias)
+# and the pool-fused path (lrn_maxpool_bias), so it runs regardless of
+# the chip-3 winner. First compile ~150 s Mosaic per new kernel form.
+os.environ["CONVNET_LRN_BIAS_FUSED"] = "1"
+dt = measure(f"+ LRN_BIAS_FUSED=1 (unroll={best_unroll})", unroll=best_unroll)
+if dt < best:
+    best = dt
+    print("lrn_bias: KEPT", flush=True)
+    print("CHIPBATCH_SETENV CONVNET_LRN_BIAS_FUSED=1", flush=True)
+else:
+    del os.environ["CONVNET_LRN_BIAS_FUSED"]
+    print("lrn_bias: dropped", flush=True)
 
 dt2048 = measure(f"batch 2048 (unroll={best_unroll})", B=2048, unroll=best_unroll)
 B_final = 2048 if dt2048 / 2 < best else 1024
