@@ -91,13 +91,15 @@ def _preprocess(graph: Graph, jitter: Optional[JitterMap], batch, rng, train: bo
             jrng = jax.random.fold_in(rng, zlib.crc32(field.encode()) & 0x7FFFFFFF)
         x = out[field]
         if (
-            train
-            and jrng is not None
-            and x.ndim == 4
+            x.ndim == 4
             and x.dtype == jnp.uint8
             and x.shape[0] % 128 == 0
-            and spec.can_translate
             and (np.ndim(mean) <= 1 and np.ndim(std) <= 1)
+            and (
+                not train
+                or jrng is not None
+                or not (spec.can_translate or spec.can_flip)
+            )
         ):
             from convnet_tpu.ops.s2d_relayout import relayout_wanted
 
@@ -112,22 +114,30 @@ def _preprocess(graph: Graph, jitter: Optional[JitterMap], batch, rng, train: bo
                 edge = prologue_plan(graph, layer.name) if layer is not None else None
                 if edge is not None:
                     b, h, w = x.shape[0], x.shape[1], x.shape[2]
-                    oy, ox, flips = sample_crop_flip(
-                        jrng, b, h, w, spec.image_size,
-                        spec.can_translate, spec.can_flip,
-                    )
-                    if oy is not None:
-                        out[field] = jitter_s2d(
-                            x, oy, ox, flips,
-                            crop=spec.image_size,
-                            kernel=edge.kernel_size,
-                            stride=edge.stride,
-                            scale=spec.scale,
-                            mean=mean,
-                            std=std,
-                            interpret=jax.default_backend() == "cpu",
+                    oy = ox = flips = None
+                    if train and jrng is not None:
+                        oy, ox, flips = sample_crop_flip(
+                            jrng, b, h, w, spec.image_size,
+                            spec.can_translate, spec.can_flip,
                         )
-                        continue
+                    if oy is None:
+                        # eval / no-translate path: the model's center
+                        # crop (jitter_batch's eval semantics) — this is
+                        # the Predictor/extract serving prologue
+                        s = spec.image_size
+                        oy = jnp.full((b,), (h - s) // 2, jnp.int32)
+                        ox = jnp.full((b,), (w - s) // 2, jnp.int32)
+                    out[field] = jitter_s2d(
+                        x, oy, ox, flips,
+                        crop=spec.image_size,
+                        kernel=edge.kernel_size,
+                        stride=edge.stride,
+                        scale=spec.scale,
+                        mean=mean,
+                        std=std,
+                        interpret=jax.default_backend() == "cpu",
+                    )
+                    continue
         if (
             train
             and jrng is not None

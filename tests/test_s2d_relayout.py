@@ -211,6 +211,36 @@ def test_relayout_gate_requires_lane_aligned_batch(monkeypatch):
     assert np.isfinite(float(m["loss"]))
 
 
+def test_predictor_serving_path_matches(monkeypatch):
+    """The eval/serving prologue (Predictor center crop) through the
+    relayout equals the default path bit-for-bit."""
+    from convnet_tpu.model import init_params
+    from convnet_tpu.predictor import Predictor
+
+    g = build_graph(config.parse_model(NET))
+    params = init_params(g, seed=0)
+    jit_map = {
+        "input": (
+            JitterSpec(image_size=CROP, scale=1 / 255),
+            np.full((3,), 0.45, np.float32),
+            None,
+        )
+    }
+    rng = np.random.RandomState(5)
+    xb = rng.randint(0, 256, (B, RAW, RAW, 3), dtype=np.uint8)
+    outs = {}
+    for mode in ("0", "1"):
+        monkeypatch.setenv("CONVNET_S2D_RELAYOUT", mode)
+        pred = Predictor(
+            g, params, batch_size=B, jitter=jit_map, raw_size=RAW,
+            input_dtype=np.uint8,
+        )
+        outs[mode] = pred({"input": xb})["output"]
+    np.testing.assert_array_equal(
+        np.asarray(outs["0"], np.float32), np.asarray(outs["1"], np.float32)
+    )
+
+
 def test_bn_override_validation(monkeypatch):
     monkeypatch.setenv("CONVNET_S2D_RELAYOUT_BN", "192")
     p_grid, p_pad = relayout_geometry(CROP, KERNEL, STRIDE)
