@@ -117,6 +117,13 @@ def _chunk_lrn_y(z_t, bmat_ref, alpha: float, beta: float, relu: bool, out_dtype
     ssum = lax.dot_general(
         bmat_ref[:], x * x, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        # f32 layers need exact window sums for the 1e-5 parity bar
+        # (chip-validated: the default MXU path gave 1.15e-5 rel error
+        # vs the exact shift-add oracle at rnorm1 geometry); bf16 inputs
+        # are already quantized and products of bf16 fit f32 exactly
+        precision=(
+            jax.lax.Precision.HIGHEST if out_dtype == jnp.float32 else None
+        ),
     )
     d = 1.0 + alpha * ssum
     pb, dpow = _neg_pow_pair(d, beta)
@@ -201,6 +208,11 @@ def _fused_bwd_kernel(
         inner = lax.dot_general(
             bmat_ref[:], g_t * x * dpow, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=(
+                jax.lax.Precision.HIGHEST
+                if zb.dtype == jnp.float32
+                else None
+            ),
         )
         dx = g_t * pb - 2.0 * alpha * beta * x * inner
         if relu:

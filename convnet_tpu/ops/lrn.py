@@ -521,10 +521,13 @@ def _pallas_t(call_bwd, arrays, n, alpha, beta, interpret, relu=False):
 # ---------------------------------------------------------------------------
 
 
-def _lrn_fwd_kernel_r(x_ref, bmat_ref, *rest, alpha, beta, relu, has_bias):
+def _lrn_fwd_kernel_r(
+    x_ref, bmat_ref, *rest, alpha, beta, relu, has_bias, f32_exact
+):
     """rest = (bias_ref,) y_ref with bias fusion (bias rides as a
     (k*C, 1) column, per-channel values tiled over the k image
     positions), else (y_ref,)."""
+    prec = jax.lax.Precision.HIGHEST if f32_exact else None
     y_ref = rest[-1]
     x = x_ref[:].astype(jnp.float32)
     if has_bias:
@@ -535,15 +538,19 @@ def _lrn_fwd_kernel_r(x_ref, bmat_ref, *rest, alpha, beta, relu, has_bias):
     s = jax.lax.dot_general(
         bmat_ref[:], x * x, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=prec,
     )
     d = 1.0 + alpha * s
     y_ref[:] = (x * _neg_pow(d, beta)).astype(y_ref.dtype)
 
 
-def _lrn_bwd_kernel_r(g_ref, x_ref, bmat_ref, *rest, alpha, beta, relu, has_bias):
+def _lrn_bwd_kernel_r(
+    g_ref, x_ref, bmat_ref, *rest, alpha, beta, relu, has_bias, f32_exact
+):
     """rest = (bias_ref, dx_ref, db_ref) with bias fusion, else
     (dx_ref,). db_ref gets this tile's lane (batch) sums of dz —
     see _lrn_bwd_kernel."""
+    prec = jax.lax.Precision.HIGHEST if f32_exact else None
     g = g_ref[:].astype(jnp.float32)
     z = x_ref[:].astype(jnp.float32)
     if has_bias:
@@ -552,6 +559,7 @@ def _lrn_bwd_kernel_r(g_ref, x_ref, bmat_ref, *rest, alpha, beta, relu, has_bias
     s = jax.lax.dot_general(
         bmat_ref[:], x * x, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=prec,
     )
     d = 1.0 + alpha * s
     pb, dpow = _neg_pow_pair(d, beta)
@@ -559,6 +567,7 @@ def _lrn_bwd_kernel_r(g_ref, x_ref, bmat_ref, *rest, alpha, beta, relu, has_bias
     inner = jax.lax.dot_general(
         bmat_ref[:], g * x * dpow, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=prec,
     )
     dx = g * pb - 2.0 * alpha * beta * x * inner
     if relu:
@@ -629,6 +638,7 @@ def _pallas_r(call_bwd, arrays, n, blocked, alpha, beta, interpret, relu=False,
     kernel = functools.partial(
         _lrn_bwd_kernel_r if call_bwd else _lrn_fwd_kernel_r,
         alpha=alpha, beta=beta, relu=relu, has_bias=bias is not None,
+        f32_exact=arrays[0].dtype == jnp.float32,
     )
     in_specs = [spec] * len(arrs) + [bspec]
     operands = arrs + [jnp.asarray(_block_band(c, n, blocked, k))]

@@ -128,11 +128,18 @@ def jitter_crop_phased(
     return zf.astype(jnp.bfloat16)
 
 
-def _relayout_kernel(*refs, cin, p_out):
+def _relayout_kernel(*refs, cin, s, pp, p_out):
+    # One call handles one 16-row block of ONE row phase but ALL column
+    # phases: Mosaic requires the in-block's last dim to be 128-aligned
+    # or the full array dim, and Pp (64 at AlexNet geometry) is neither —
+    # so the block spans the whole phase-major width s*Pp and the cp
+    # split happens on static slices in VMEM.
     in_refs, out_ref = refs[:cin], refs[cin]
-    for ci in range(cin):
-        t = jnp.transpose(in_refs[ci][:], (1, 2, 0))  # (16, Pp, bn)
-        out_ref[:, ci, :, :] = t[:, :p_out, :]
+    for cp in range(s):
+        for ci in range(cin):
+            x = in_refs[ci][:, :, cp * pp:(cp + 1) * pp]  # (bn, 16, Pp)
+            t = jnp.transpose(x, (1, 2, 0))  # (16, Pp, bn)
+            out_ref[:, cp * cin + ci, :, :] = t[:, :p_out, :]
 
 
 def _pick_bn(b: int) -> int:
@@ -149,10 +156,11 @@ def _pick_bn(b: int) -> int:
         raise ValueError(
             f"s2d_relayout needs B % 128 == 0 (batch rides the lane axis), got {b}"
         )
-    bn = 256
-    while bn > 128 and b % bn:
-        bn //= 2
-    return bn
+    # VMEM budget: blocks are double-buffered, and a grid step holds
+    # cin*(bn,16,s*Pp) in + (16,s*cin,P,bn) out — at AlexNet geometry
+    # bn=128 is ~5.8 MB live / ~11.6 MB pipelined against the ~16 MB
+    # core VMEM; bn=256 would blow it.
+    return 128
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
@@ -165,6 +173,23 @@ def s2d_relayout(z, stride, p_out, p_pad, interpret=False):
     return _relayout_fwd_impl(z, stride, p_out, p_pad, interpret)
 
 
+def block_plan(b: int, cin: int, s: int, pp: int, p_out: int):
+    """(in_block, out_block, grid) for the relayout pallas_call.
+
+    Factored out so tests can statically check Mosaic legality (last two
+    block dims divisible by (8, 128) or equal to the array dims) and the
+    double-buffered VMEM budget without compiling for TPU — interpret
+    mode does not enforce either (a real lowering failure at AlexNet
+    geometry got through CPU validation in round 3).
+    """
+    bn = _pick_bn(b)
+    bpr = pp // 16
+    in_block = (bn, 16, s * pp)
+    out_block = (16, s * cin, p_out, bn)
+    grid = (s * bpr, b // bn)
+    return in_block, out_block, grid
+
+
 def _relayout_fwd_impl(z, stride, p_out, p_pad, interpret):
     b, cin, n, _ = z.shape
     s, pp = stride, p_pad
@@ -172,17 +197,23 @@ def _relayout_fwd_impl(z, stride, p_out, p_pad, interpret):
     bn = _pick_bn(b)
     bpr = pp // 16  # 16-row blocks per phase plane (pp % 16 == 0)
     xcs = [z[:, ci] for ci in range(cin)]  # leading-dim slices: bitcasts
-    kernel = functools.partial(_relayout_kernel, cin=cin, p_out=p_out)
+    kernel = functools.partial(_relayout_kernel, cin=cin, s=s, pp=pp, p_out=p_out)
+    # in-block last two dims (16, s*pp): 16 % 8 == 0 and s*pp IS the
+    # array's last dim — the only Mosaic-legal choice here since
+    # pp % 128 != 0 at AlexNet geometry (pp=64).
+    in_block, out_block, grid = block_plan(b, cin, s, pp, p_out)
     in_spec = pl.BlockSpec(
-        (bn, 16, pp), lambda h, cp, j: (j, h, cp), memory_space=pltpu.VMEM
+        in_block, lambda h, j: (j, h, 0), memory_space=pltpu.VMEM
     )
     out = pl.pallas_call(
         kernel,
-        grid=(s * bpr, s, b // bn),
+        grid=grid,
         in_specs=[in_spec] * cin,
         out_specs=pl.BlockSpec(
-            (16, cin, p_out, bn),
-            lambda h, cp, j: (h % bpr, (h // bpr) * s + cp, 0, j),
+            # full K slice of this row phase (s col-phases x cin);
+            # last two dims (p_out, bn) = (full array dim, 128-aligned)
+            out_block,
+            lambda h, j: (h % bpr, h // bpr, 0, j),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((p_out, s * s * cin, p_out, b), z.dtype),
@@ -194,7 +225,7 @@ def _relayout_fwd_impl(z, stride, p_out, p_pad, interpret):
         compiler_params=None
         if interpret
         else pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel")
+            dimension_semantics=("parallel", "parallel")
         ),
         interpret=interpret,
     )(*xcs)

@@ -247,3 +247,37 @@ def test_bn_override_validation(monkeypatch):
     z = jnp.zeros((B, 3, STRIDE * p_pad, STRIDE * p_pad), jnp.bfloat16)
     with pytest.raises(ValueError, match="multiple of 128"):
         s2d_relayout(z, STRIDE, p_grid, p_pad, INTERP)
+
+@pytest.mark.parametrize(
+    "b,cin,crop,kernel,stride",
+    [
+        (1024, 3, 224, 11, 4),  # AlexNet conv1: the shape that failed Mosaic
+        (B, 3, CROP, KERNEL, STRIDE),  # this suite's geometry
+        (256, 3, 224, 11, 4),
+        (128, 1, 28, 5, 2),
+    ],
+)
+def test_block_plan_is_mosaic_legal(b, cin, crop, kernel, stride):
+    """Interpret mode does not enforce Mosaic's block rules; pin them
+    statically: last two block dims divisible by (8, 128) or equal to
+    the array dims, plus the double-buffered VMEM budget (~16 MB/core).
+    Round 3 shipped a plan whose in-block last dim was Pp=64 — illegal —
+    and only the on-chip A/B caught it."""
+    from convnet_tpu.ops.s2d_relayout import block_plan
+
+    p_out, p_pad = relayout_geometry(crop, kernel, stride)
+    s, pp = stride, p_pad
+    in_block, out_block, grid = block_plan(b, cin, s, pp, p_out)
+    in_shape = (b, s * pp, s * pp)
+    out_shape = (p_out, s * s * cin, p_out, b)
+
+    def legal(block, shape):
+        for bd, ad, tile in zip(block[-2:], shape[-2:], (8, 128)):
+            assert bd % tile == 0 or bd == ad, (block, shape)
+
+    legal(in_block, in_shape)
+    legal(out_block, out_shape)
+    # grid must tile the in array exactly on the blocked dims
+    assert grid[0] * 16 == s * pp and grid[1] * in_block[0] == b
+    live = 2 * (cin * np.prod(in_block) + np.prod(out_block))  # bf16
+    assert 2 * live <= 16 * 2**20, f"double-buffered blocks {2*live/2**20:.1f} MB"

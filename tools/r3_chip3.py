@@ -59,6 +59,7 @@ xq = np.round(rng.randn(128, 55, 55, 96) * 2) / 2
 from convnet_tpu.graph import conv_out_size
 
 OH = conv_out_size(55, 3, 2, 0)
+numerics_failures = []
 for dtype, fr in ((jnp.float32, False), (jnp.bfloat16, True)):
     x = jnp.asarray(xq, dtype)
     g = jnp.asarray(rng.randn(128, OH, OH, 96), dtype)
@@ -77,7 +78,13 @@ for dtype, fr in ((jnp.float32, False), (jnp.bfloat16, True)):
         f"(pallas compile+run {t1-t0:.0f}s)",
         flush=True,
     )
-    assert status == "OK", f"fused pool+LRN hardware numerics FAIL ({dtype})"
+    if status != "OK":
+        # record but keep going: the 2x2 A/B below is the expensive,
+        # chip-bound part of this job and its data stays useful even if
+        # the numerics bar needs another look (first failure was a
+        # marginal 1.15e-5 vs 1e-5 from default-precision MXU f32 dots,
+        # fixed by f32_exact threading — this guards the re-validation)
+        numerics_failures.append((np.dtype(dtype).name, fr, dy, ddx))
 
 # --- 2. full-step A/B at batch 1024 ----------------------------------------
 model = config.read_model(os.path.join(here, "examples/imagenet/alexnet.pbtxt"))
@@ -152,4 +159,6 @@ with jax.profiler.trace("/tmp/trace_r3_best"):
     float(m["loss"])
 dt = (time.perf_counter() - t0) / NTRACE
 print(f"traced step: {dt*1e3:.2f} ms ({B/dt:.0f} img/s) -> /tmp/trace_r3_best", flush=True)
+if numerics_failures:
+    raise SystemExit(f"fused pool+LRN hardware numerics FAIL: {numerics_failures}")
 print("R3 CHIP BATCH 3 COMPLETE", flush=True)

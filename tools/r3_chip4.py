@@ -146,8 +146,7 @@ data_config {{
 }}
 """
     )
-ckpt_path = os.path.join(td, "alexnet.h5")
-ckpt.save(ckpt_path, params, {}, 0)
+ckpt_path = ckpt.save(td, "alexnet", params, None, 0)
 t0 = time.perf_counter()
 extract_cli.main(
     [
