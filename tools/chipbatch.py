@@ -135,7 +135,10 @@ def run_job(job, extra_env, logdir, say):
             f"post-live budget={budget}s log={log}"
         )
         env = dict(os.environ, **extra_env)
-        with open(log, "ab") as lf:
+        # truncate: attempt numbers restart across ledger resubmissions,
+        # and a stale CHIP_LIVE / CHIPBATCH_SETENV line from a previous
+        # run in the same file poisons the liveness grep and env parse
+        with open(log, "wb") as lf:
             proc = subprocess.Popen(
                 [
                     sys.executable, os.path.abspath(__file__),
