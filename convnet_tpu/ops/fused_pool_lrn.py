@@ -54,6 +54,7 @@ from convnet_tpu.ops.lrn import (
     norm_window_size,
 )
 from convnet_tpu.ops.pool import maxpool2d, maxpool2d_undo_reference
+from convnet_tpu.ops.pallas_util import pallas_interpret
 
 
 # ---------------------------------------------------------------------------
@@ -163,6 +164,15 @@ def _fused_bwd_kernel(
     wc = w // wsplit
     rows = kb * c
     zb = z_ref[:]
+    if has_bias:
+        # db rides a full-array (8, wc*c) accumulator revisited at every
+        # grid step (constant index map): per-tile (1, 1, wc*c) blocks
+        # broke Mosaic's (8, 128) divisibility rule (chip, round 4)
+        first = (pl.program_id(0) == 0) & (i == 0) & (h2 == 0)
+
+        @pl.when(first)
+        def _init():
+            db_ref[:] = jnp.zeros_like(db_ref)
 
     # ---- stage 0: recompute y from z (the 594 MB y read this kernel
     # used to pay is pure redundancy: d is recomputed from z anyway and
@@ -219,7 +229,7 @@ def _fused_bwd_kernel(
             dx = jnp.where(z_t > 0.0, dx, 0.0)
         dz_ref[sl] = dx.astype(dz_ref.dtype)
         if has_bias:
-            db_ref[0, 0, sl] = jnp.sum(dx, axis=1)
+            db_ref[0:1, sl] = db_ref[0:1, sl] + jnp.sum(dx, axis=1)[None, :]
 
 
 @functools.lru_cache(maxsize=64)
@@ -315,18 +325,18 @@ def _pallas_fused_bwd(
         )
         out_specs = (
             row_spec,
+            # full-array accumulator block (always Mosaic-legal); the
+            # revisit across all grid dims forces "arbitrary" semantics
             pl.BlockSpec(
-                (1, 1, wc * c),
-                lambda jb, i, h2: (jb, i * wsplit + h2, 0),
-                memory_space=pltpu.VMEM,
+                (8, wc * c), lambda jb, i, h2: (0, 0), memory_space=pltpu.VMEM
             ),
         )
-        out_shape = (
-            dz_shape,
-            jax.ShapeDtypeStruct((b // lb, h * wsplit, wc * c), jnp.float32),
-        )
+        out_shape = (dz_shape, jax.ShapeDtypeStruct((8, wc * c), jnp.float32))
     else:
         out_specs, out_shape = row_spec, dz_shape
+    semantics = (
+        ("arbitrary",) * 3 if bias is not None else ("parallel",) * 3
+    )
     out = pl.pallas_call(
         kernel,
         grid=(b // lb, h, wsplit),
@@ -340,15 +350,13 @@ def _pallas_fused_bwd(
         ),
         compiler_params=None
         if interpret
-        else pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel")
-        ),
+        else pltpu.CompilerParams(dimension_semantics=semantics),
         interpret=interpret,
     )(*operands)
     if bias is None:
         return jnp.transpose(out.reshape(h, w, c, b), (3, 0, 1, 2))
     dz2, db_part = out
-    db = db_part.sum((0, 1)).reshape(wc, c).sum(0)
+    db = db_part.sum(0).reshape(wc, c).sum(0)
     return jnp.transpose(dz2.reshape(h, w, c, b), (3, 0, 1, 2)), db
 
 
@@ -572,7 +580,7 @@ def lrn_maxpool(
             x,
             n=n, blocked=blocked, alpha=add_scale / n, beta=float(pow_scale),
             relu=fuse_relu, k=pool_kernel, s=pool_stride,
-            interpret=jax.default_backend() == "cpu",
+            interpret=pallas_interpret(),
         )
     y = _lrn_fwd(
         x, add_scale, pow_scale, frac_of_filters, blocked, "auto", fuse_relu
@@ -590,7 +598,7 @@ def _lrn_maxpool_fwd(
             x,
             n=n, blocked=blocked, alpha=add_scale / n, beta=float(pow_scale),
             relu=fuse_relu, k=pk, s=ps,
-            interpret=jax.default_backend() == "cpu",
+            interpret=pallas_interpret(),
         )
         return m, (x, None, m)  # y is VMEM-only; the bwd recomputes it
     y = _lrn_fwd(x, add_scale, pow_scale, frac, blocked, "auto", fuse_relu)
@@ -612,7 +620,7 @@ def _lrn_maxpool_bwd(
     # around the loss call only), and the bwd must pair with whichever
     # forward actually ran (y is VMEM-only on the Pallas path)
     if y is None:
-        interp = jax.default_backend() == "cpu"
+        interp = pallas_interpret()
         dz = _pallas_fused_bwd(
             gm, m, x,
             n=n, blocked=blocked, alpha=alpha, beta=beta, relu=fuse_relu,
@@ -664,7 +672,7 @@ def _lrn_maxpool_bias_fwd(
             x,
             n=n, blocked=blocked, alpha=add_scale / n, beta=float(pow_scale),
             relu=fuse_relu, k=pk, s=ps,
-            interpret=jax.default_backend() == "cpu",
+            interpret=pallas_interpret(),
             bias=b,
         )
         return m, (x, b, None, m)
@@ -687,7 +695,7 @@ def _lrn_maxpool_bias_bwd(
         dz, db = _pallas_fused_bwd(
             gm, m, x,
             n=n, blocked=blocked, alpha=alpha, beta=beta, relu=fuse_relu,
-            k=pk, s=ps, interpret=jax.default_backend() == "cpu",
+            k=pk, s=ps, interpret=pallas_interpret(),
             bias=b,
         )
         return dz.astype(x.dtype), db.astype(b.dtype)

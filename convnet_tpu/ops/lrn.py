@@ -52,6 +52,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from convnet_tpu.ops.pallas_util import pallas_interpret
 
 
 def norm_window_size(num_channels: int, frac: float) -> int:
@@ -247,7 +248,15 @@ def _lrn_bwd_kernel(
         dx = jnp.where(z > 0.0, dx, 0.0)
     if has_bias:
         rest[1][:] = dx.astype(rest[1].dtype)
-        rest[2][:] = jnp.sum(dx, axis=0, keepdims=True)
+        # db rides a full-array (8, C) accumulator revisited every grid
+        # step (constant index map): a per-tile (1, C) block would break
+        # Mosaic's (8, 128) block-divisibility rule whenever grid_m > 1
+        # (caught on chip, round 4 — interpret mode does not check it)
+        @pl.when(pl.program_id(0) == 0)
+        def _init():
+            rest[2][:] = jnp.zeros_like(rest[2])
+
+        rest[2][0:1, :] = rest[2][0:1, :] + jnp.sum(dx, axis=0, keepdims=True)
     else:
         rest[0][:] = dx.astype(rest[0].dtype)
 
@@ -379,9 +388,11 @@ def _pallas_bwd(g2d, x2d, n, blocked, alpha, beta, interpret, relu=False, bias=N
         )
         out_specs = (
             dx_spec,
-            pl.BlockSpec((1, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            # full-array accumulator block: always Mosaic-legal, stays
+            # resident in VMEM across the whole grid (constant index map)
+            pl.BlockSpec((8, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
         )
-        out_shape = (dx_shape, jax.ShapeDtypeStruct((grid_m, c), jnp.float32))
+        out_shape = (dx_shape, jax.ShapeDtypeStruct((8, c), jnp.float32))
     else:
         out_specs, out_shape = dx_spec, dx_shape
     res = pl.pallas_call(
@@ -574,7 +585,12 @@ def _lrn_bwd_kernel_r(
         dx = jnp.where(z > 0.0, dx, 0.0)
     if has_bias:
         rest[1][:] = dx.astype(rest[1].dtype)
-        rest[2][:] = jnp.sum(dx, axis=1)[None, :]
+        # full-array (8, rows) accumulator — see _lrn_bwd_kernel
+        @pl.when(pl.program_id(0) == 0)
+        def _init():
+            rest[2][:] = jnp.zeros_like(rest[2])
+
+        rest[2][0:1, :] = rest[2][0:1, :] + jnp.sum(dx, axis=1)[None, :]
     else:
         rest[0][:] = dx.astype(rest[0].dtype)
 
@@ -651,11 +667,16 @@ def _pallas_r(call_bwd, arrays, n, blocked, alpha, beta, interpret, relu=False,
     if call_bwd and bias is not None:
         out_specs = (
             spec,
-            pl.BlockSpec((1, rows), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            # full-array accumulator block (always Mosaic-legal); the
+            # revisit across grid steps requires "arbitrary" semantics
+            pl.BlockSpec((8, rows), lambda i: (0, 0), memory_space=pltpu.VMEM),
         )
-        out_shape = (dx_shape, jax.ShapeDtypeStruct((grid_m, rows), jnp.float32))
+        out_shape = (dx_shape, jax.ShapeDtypeStruct((8, rows), jnp.float32))
     else:
         out_specs, out_shape = spec, dx_shape
+    semantics = (
+        "arbitrary" if (call_bwd and bias is not None) else "parallel",
+    )
     out = pl.pallas_call(
         kernel,
         grid=(grid_m,),
@@ -669,7 +690,7 @@ def _pallas_r(call_bwd, arrays, n, blocked, alpha, beta, interpret, relu=False,
         ),
         compiler_params=None
         if interpret
-        else pltpu.CompilerParams(dimension_semantics=("parallel",)),
+        else pltpu.CompilerParams(dimension_semantics=semantics),
         interpret=interpret,
     )(*operands)
     if call_bwd and bias is not None:
@@ -766,7 +787,7 @@ def _lrn_fwd(x, add_scale, pow_scale, frac, blocked, backend, relu=False):
     alpha = add_scale / n
     beta = float(pow_scale)
     if _use_pallas(backend, c):
-        interp = jax.default_backend() == "cpu"  # tests force backend="pallas"
+        interp = pallas_interpret()  # tests force backend="pallas"
         form = _pick_form(c, x.shape[0]) if x.ndim == 4 and not blocked else "2d"
         if x.ndim == 4 and not blocked and form == "r2d":
             xt = jnp.transpose(x, (1, 2, 3, 0))
@@ -806,7 +827,7 @@ def _lrn_bwd_vjp(add_scale, pow_scale, frac, blocked, backend, fuse_relu, x, g):
     alpha = add_scale / n
     beta = float(pow_scale)
     if _use_pallas(backend, c):
-        interp = jax.default_backend() == "cpu"
+        interp = pallas_interpret()
         form = _pick_form(c, x.shape[0]) if x.ndim == 4 and not blocked else "2d"
         if x.ndim == 4 and not blocked and form == "r2d":
             xt = jnp.transpose(x, (1, 2, 3, 0))
@@ -909,7 +930,7 @@ def _lrn_fwd_b(x, b, add_scale, pow_scale, frac, blocked, backend, relu):
     alpha = add_scale / n
     beta = float(pow_scale)
     if _bias_fusable(x, blocked, backend):
-        interp = jax.default_backend() == "cpu"
+        interp = pallas_interpret()
         form = _pick_form(c, x.shape[0])
         if form == "r2d":
             xt = jnp.transpose(x, (1, 2, 3, 0))
@@ -941,7 +962,7 @@ def _lrn_bwd_b_vjp(add_scale, pow_scale, frac, blocked, backend, fuse_relu, res,
     alpha = add_scale / n
     beta = float(pow_scale)
     if _bias_fusable(x, blocked, backend):
-        interp = jax.default_backend() == "cpu"
+        interp = pallas_interpret()
         form = _pick_form(c, x.shape[0])
         if form == "r2d":
             xt = jnp.transpose(x, (1, 2, 3, 0))

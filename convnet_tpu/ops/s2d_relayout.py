@@ -128,17 +128,48 @@ def jitter_crop_phased(
     return zf.astype(jnp.bfloat16)
 
 
-def _relayout_kernel(*refs, cin, s, pp, p_out):
+def _kform() -> str:
+    """In-VMEM transpose strategy. The Python-side lowering accepts all
+    three, but the BACKEND compiler crashed on the first form tried on
+    chip (round 4, remote_compile HTTP 500) — so the strategy is a knob
+    and tools/r4_compilecheck.py AOT-compiles each chiplessly to find
+    the forms the backend actually accepts:
+      "3d"  — jnp.transpose(x, (1, 2, 0)) on the (bn, 16, Pp) slice
+      "2d"  — flatten to (bn, 16*Pp), one 2D transpose, reshape back
+      "mxu" — the 2D transpose as an identity dot_general (the MXU is
+              idle in this kernel; Mosaic lowers matmuls robustly)"""
+    v = os.environ.get("CONVNET_S2D_RELAYOUT_KFORM", "2d")
+    if v not in ("3d", "2d", "mxu"):
+        raise ValueError(f"CONVNET_S2D_RELAYOUT_KFORM={v} not in 3d|2d|mxu")
+    return v
+
+
+def _relayout_kernel(*refs, cin, s, pp, p_out, kform):
     # One call handles one 16-row block of ONE row phase but ALL column
     # phases: Mosaic requires the in-block's last dim to be 128-aligned
     # or the full array dim, and Pp (64 at AlexNet geometry) is neither —
     # so the block spans the whole phase-major width s*Pp and the cp
     # split happens on static slices in VMEM.
     in_refs, out_ref = refs[:cin], refs[cin]
+    bn = in_refs[0].shape[0]
     for cp in range(s):
         for ci in range(cin):
             x = in_refs[ci][:, :, cp * pp:(cp + 1) * pp]  # (bn, 16, Pp)
-            t = jnp.transpose(x, (1, 2, 0))  # (16, Pp, bn)
+            if kform == "3d":
+                t = jnp.transpose(x, (1, 2, 0))  # (16, Pp, bn)
+            elif kform == "2d":
+                t = x.reshape(bn, 16 * pp).T.reshape(16, pp, bn)
+            else:  # "mxu"
+                x2 = x.reshape(bn, 16 * pp)
+                eye = (
+                    jax.lax.broadcasted_iota(jnp.int32, (bn, bn), 0)
+                    == jax.lax.broadcasted_iota(jnp.int32, (bn, bn), 1)
+                ).astype(x2.dtype)
+                t2 = jax.lax.dot_general(
+                    x2, eye, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(x.dtype)  # exact: one nonzero per contraction
+                t = t2.reshape(16, pp, bn)
             out_ref[:, cp * cin + ci, :, :] = t[:, :p_out, :]
 
 
@@ -197,7 +228,9 @@ def _relayout_fwd_impl(z, stride, p_out, p_pad, interpret):
     bn = _pick_bn(b)
     bpr = pp // 16  # 16-row blocks per phase plane (pp % 16 == 0)
     xcs = [z[:, ci] for ci in range(cin)]  # leading-dim slices: bitcasts
-    kernel = functools.partial(_relayout_kernel, cin=cin, s=s, pp=pp, p_out=p_out)
+    kernel = functools.partial(
+        _relayout_kernel, cin=cin, s=s, pp=pp, p_out=p_out, kform=_kform()
+    )
     # in-block last two dims (16, s*pp): 16 % 8 == 0 and s*pp IS the
     # array's last dim — the only Mosaic-legal choice here since
     # pp % 128 != 0 at AlexNet geometry (pp=64).

@@ -29,6 +29,7 @@ from convnet_tpu.data.datahandler import DataHandler
 from convnet_tpu.data.jitter import JitterSpec, jitter_batch
 from convnet_tpu.graph import Graph
 from convnet_tpu.parallel import mesh as mesh_lib
+from convnet_tpu.ops.pallas_util import pallas_interpret
 
 TrainState = Dict[str, Any]  # {"params", "moms", "step", "rng"}
 
@@ -135,7 +136,7 @@ def _preprocess(graph: Graph, jitter: Optional[JitterMap], batch, rng, train: bo
                         scale=spec.scale,
                         mean=mean,
                         std=std,
-                        interpret=jax.default_backend() == "cpu",
+                        interpret=pallas_interpret(),
                     )
                     continue
         if (
@@ -168,7 +169,7 @@ def _preprocess(graph: Graph, jitter: Optional[JitterMap], batch, rng, train: bo
                         scale=spec.scale,
                         mean=mean,
                         std=std,
-                        interpret=jax.default_backend() == "cpu",
+                        interpret=pallas_interpret(),
                     )
                     continue
         out[field] = jitter_batch(x, spec, jrng, train, mean, std)

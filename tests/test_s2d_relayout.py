@@ -106,7 +106,9 @@ def test_phased_crop_pad_stays_zero_through_affine():
     assert np.abs(zf[:, :, ~invalid][:, :, :, ~invalid]).max() > 0
 
 
-def test_relayout_kernel_and_vjp_match_reference():
+@pytest.mark.parametrize("kform", ["3d", "2d", "mxu"])
+def test_relayout_kernel_and_vjp_match_reference(kform, monkeypatch):
+    monkeypatch.setenv("CONVNET_S2D_RELAYOUT_KFORM", kform)
     rng = np.random.RandomState(2)
     p_grid, p_pad = relayout_geometry(CROP, KERNEL, STRIDE)
     z = jnp.asarray(
