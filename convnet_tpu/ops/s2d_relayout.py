@@ -23,12 +23,16 @@ This module splits the work where each engine is strongest:
  2. The affine normalize (scale/mean/std) + pad mask are elementwise
     on the einsum output and fuse into its epilogue.
  3. A Pallas kernel performs ONLY the relayout: grid over (row-block,
-    col-phase, batch-chunk), in-VMEM (bn, 16, Pp)->(16, Pp, bn)
-    transposes, and writes conv1's exact preferred physical layout —
-    out logical (P, K, P, B) row-major == NHWC {0,2,3,1}, the layout
-    the v5e trace shows the conv emitter already asks for — so the
-    boundary into `ops.conv._s2d_core` is a bitcast. K order is
-    (row-phase, col-phase, cin), matching `_s2d_regroup_weight`.
+    batch-chunk), in-VMEM (bn, 16, Pp)->(16, Pp, bn) transposes (as a
+    single 2D transpose — the only form the backend compiler accepts,
+    see _kform), writing a 3D (K, P*P, B) merged view whose row-major
+    bytes are physical (K, P, P, B). Rank-4 output blocks crash the
+    backend compiler (round-4 bisection), hence the merged view; the
+    layout is K-major rather than the conv emitter's historical
+    (P, K, P, B), so XLA either adapts the conv input layout to the
+    kernel or pays one relayout — the chip A/B decides the knob. K
+    order is (row-phase, col-phase, cin), matching
+    `_s2d_regroup_weight`.
 
 Total HBM traffic after the einsums: read (B, s*Pp, s*Pp, cin) bf16 +
 write (P, K, P, B) bf16 ~= 0.72 GB at AlexNet batch 1024 ~= 1.8 ms at
@@ -129,15 +133,15 @@ def jitter_crop_phased(
 
 
 def _kform() -> str:
-    """In-VMEM transpose strategy. The Python-side lowering accepts all
-    three, but the BACKEND compiler crashed on the first form tried on
-    chip (round 4, remote_compile HTTP 500) — so the strategy is a knob
-    and tools/r4_compilecheck.py AOT-compiles each chiplessly to find
-    the forms the backend actually accepts:
-      "3d"  — jnp.transpose(x, (1, 2, 0)) on the (bn, 16, Pp) slice
-      "2d"  — flatten to (bn, 16*Pp), one 2D transpose, reshape back
-      "mxu" — the 2D transpose as an identity dot_general (the MXU is
-              idle in this kernel; Mosaic lowers matmuls robustly)"""
+    """In-VMEM transpose strategy. Backend-compiler support was probed
+    empirically (round 4, chipless AOT bisection — BASELINE.md):
+      "2d"  — flatten to (bn, 16*Pp), one 2D transpose, reshape back:
+              COMPILES (the default).
+      "3d"  — jnp.transpose(x, (1, 2, 0)): the backend compiler crashes
+              after ~110 s (tpu_compile_helper exit 1) — kept only so the
+              compile gate can re-probe future toolchains.
+      "mxu" — the 2D transpose as an identity dot_general (MXU is idle
+              in this kernel; a fallback if "2d" ever regresses)."""
     v = os.environ.get("CONVNET_S2D_RELAYOUT_KFORM", "2d")
     if v not in ("3d", "2d", "mxu"):
         raise ValueError(f"CONVNET_S2D_RELAYOUT_KFORM={v} not in 3d|2d|mxu")
@@ -149,28 +153,42 @@ def _relayout_kernel(*refs, cin, s, pp, p_out, kform):
     # phases: Mosaic requires the in-block's last dim to be 128-aligned
     # or the full array dim, and Pp (64 at AlexNet geometry) is neither —
     # so the block spans the whole phase-major width s*Pp and the cp
-    # split happens on static slices in VMEM.
+    # split happens on static slices in VMEM. The output ref is the 3D
+    # (K, P*P, B) merged view (rank-4 output blocks crash the backend
+    # compiler — round-4 bisection); this grid step's K slice is the
+    # s*cin (col-phase, cin) pairs of ONE row phase.
     in_refs, out_ref = refs[:cin], refs[cin]
     bn = in_refs[0].shape[0]
-    for cp in range(s):
-        for ci in range(cin):
-            x = in_refs[ci][:, :, cp * pp:(cp + 1) * pp]  # (bn, 16, Pp)
-            if kform == "3d":
-                t = jnp.transpose(x, (1, 2, 0))  # (16, Pp, bn)
-            elif kform == "2d":
-                t = x.reshape(bn, 16 * pp).T.reshape(16, pp, bn)
-            else:  # "mxu"
-                x2 = x.reshape(bn, 16 * pp)
-                eye = (
-                    jax.lax.broadcasted_iota(jnp.int32, (bn, bn), 0)
-                    == jax.lax.broadcasted_iota(jnp.int32, (bn, bn), 1)
-                ).astype(x2.dtype)
-                t2 = jax.lax.dot_general(
-                    x2, eye, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                ).astype(x.dtype)  # exact: one nonzero per contraction
-                t = t2.reshape(16, pp, bn)
-            out_ref[:, cp * cin + ci, :, :] = t[:, :p_out, :]
+    w = s * pp
+    for ci in range(cin):
+        # transpose the WHOLE s*Pp-lane block at once: a lane-dim slice
+        # taken BEFORE the transpose crashes the backend compiler
+        # (round-4 bisection), while the full-width 2D transpose
+        # compiles; the per-col-phase split below is then a sublane
+        # slice at an 8-aligned offset, which lowers fine
+        x = in_refs[ci][:]  # (bn, 16, s*Pp)
+        if kform == "3d":
+            t = jnp.transpose(x, (1, 2, 0))  # (16, s*Pp, bn)
+        elif kform == "2d":
+            t = x.reshape(bn, 16 * w).T.reshape(16, w, bn)
+        else:  # "mxu"
+            x2 = x.reshape(bn, 16 * w)
+            eye = (
+                jax.lax.broadcasted_iota(jnp.int32, (bn, bn), 0)
+                == jax.lax.broadcasted_iota(jnp.int32, (bn, bn), 1)
+            ).astype(x2.dtype)
+            t2 = jax.lax.dot_general(
+                x2, eye, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(x.dtype)  # exact: one nonzero per contraction
+            t = t2.reshape(16, w, bn)
+        for cp in range(s):
+            # (16 rows p, Pp cols q, bn) -> merged (p*p_out + q, bn);
+            # cols q >= p_out are cut by the slice, rows p >= p_out land
+            # past the array end of the final ragged block and are
+            # masked by Mosaic (raggedness is legal on the last two dims)
+            seg = t[:, cp * pp : cp * pp + p_out, :]
+            out_ref[cp * cin + ci] = seg.reshape(16 * p_out, bn)
 
 
 def _pick_bn(b: int) -> int:
@@ -197,10 +215,9 @@ def _pick_bn(b: int) -> int:
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
 def s2d_relayout(z, stride, p_out, p_pad, interpret=False):
     """(B, C, s*Pp, s*Pp) phase-major bf16 -> (B, P, P, s*s*C) s2d view
-    whose PHYSICAL layout is row-major (P, K, P, B) — the conv emitter's
-    preferred {0,2,3,1} NHWC layout, so both kernel boundaries are
-    bitcasts. K order (row-phase, col-phase, cin) matches
-    `ops.conv._s2d_regroup_weight`."""
+    whose PHYSICAL layout is row-major (K, P, P, B) — the kernel's 3D
+    merged output viewed logically as NHWC. K order (row-phase,
+    col-phase, cin) matches `ops.conv._s2d_regroup_weight`."""
     return _relayout_fwd_impl(z, stride, p_out, p_pad, interpret)
 
 
@@ -211,12 +228,17 @@ def block_plan(b: int, cin: int, s: int, pp: int, p_out: int):
     block dims divisible by (8, 128) or equal to the array dims) and the
     double-buffered VMEM budget without compiling for TPU — interpret
     mode does not enforce either (a real lowering failure at AlexNet
-    geometry got through CPU validation in round 3).
+    geometry got through CPU validation in round 3). The out block is a
+    slice of the 3D (K, P*P, B) merged view: rank-4 output blocks crash
+    the backend compiler outright (round-4 chipless bisection), and
+    16*p_out is always 8-divisible, so every dim is legal by
+    construction; the final p-row block overhangs P*P and relies on
+    Mosaic's last-two-dim raggedness masking.
     """
     bn = _pick_bn(b)
     bpr = pp // 16
     in_block = (bn, 16, s * pp)
-    out_block = (16, s * cin, p_out, bn)
+    out_block = (s * cin, 16 * p_out, bn)
     grid = (s * bpr, b // bn)
     return in_block, out_block, grid
 
@@ -243,13 +265,16 @@ def _relayout_fwd_impl(z, stride, p_out, p_pad, interpret):
         grid=grid,
         in_specs=[in_spec] * cin,
         out_specs=pl.BlockSpec(
-            # full K slice of this row phase (s col-phases x cin);
-            # last two dims (p_out, bn) = (full array dim, 128-aligned)
+            # 3D merged (K, P*P, B) view: dim0 = the K slice of this row
+            # phase (s col-phases x cin), dim1 = this 16-row p-block's
+            # merged (p, q) rows, dim2 = the batch chunk
             out_block,
-            lambda h, j: (h % bpr, h // bpr, 0, j),
+            lambda h, j: (h // bpr, h % bpr, j),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((p_out, s * s * cin, p_out, b), z.dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (s * s * cin, p_out * p_out, b), z.dtype
+        ),
         cost_estimate=pl.CostEstimate(
             flops=0,
             bytes_accessed=2 * z.size * z.dtype.itemsize,
@@ -262,8 +287,14 @@ def _relayout_fwd_impl(z, stride, p_out, p_pad, interpret):
         ),
         interpret=interpret,
     )(*xcs)
-    # logical NHWC view; the transpose is a bitcast of the pinned layout
-    return jnp.transpose(out, (3, 0, 2, 1))
+    # logical NHWC view: the reshape is a bitcast of the row-major 3D
+    # bytes; the transpose pins physical (K, P, P, B) — K-major rather
+    # than the conv emitter's historical (P, K, P, B) pick, so XLA
+    # either adapts the conv's input layout to the kernel (as it does
+    # for the LRN forms) or inserts one relayout copy; the chip A/B
+    # (tools/r4_chip7.py) measures which happens
+    out4 = out.reshape(s * s * cin, p_out, p_out, b)
+    return jnp.transpose(out4, (3, 1, 2, 0))
 
 
 def _relayout_fwd(z, stride, p_out, p_pad, interpret):
