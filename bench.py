@@ -138,11 +138,12 @@ def main(batch=None, steps=None):
     raw = size + 32
     graph = build_graph(model, {"input": size})
 
-    # 2048 won the round-4 re-sweep (16,890 img/s vs 16,552 at 1024,
-    # tools/r3_chip5.py): fixed per-step costs — optimizer master-weight
-    # traffic, weight-grad convs' setup — amortize with batch. (Round 2
-    # measured 2048 flat pre-r2d-LRN; the balance changed.)
-    batch = batch or int(os.environ.get("BENCH_BATCH", "2048"))
+    # 4096 won the round-4 batch sweep (17,370 img/s vs 17,165 at 2048
+    # vs 16,552 at 1024, tools/r4_chip7.py): fixed per-step costs —
+    # optimizer master-weight traffic, weight-grad convs' setup —
+    # amortize with batch. (Round 2 measured 2048 flat pre-r2d-LRN;
+    # the balance changed.)
+    batch = batch or int(os.environ.get("BENCH_BATCH", "4096"))
     steps = steps or int(os.environ.get("BENCH_STEPS", "20"))
     jitter = {
         "input": (
@@ -316,9 +317,9 @@ def _watchdog_main():
 
     # (batch, steps, reserve): reserve = budget to leave for later
     # attempts. The last attempt is tiny and cache-warm.
-    ladder = [(2048, 20, 100), (64, 5, 0)]
+    ladder = [(4096, 20, 100), (64, 5, 0)]
     if "BENCH_BATCH" in os.environ or "BENCH_STEPS" in os.environ:
-        b = int(os.environ.get("BENCH_BATCH", "2048"))
+        b = int(os.environ.get("BENCH_BATCH", "4096"))
         s = int(os.environ.get("BENCH_STEPS", "20"))
         ladder = [(b, s, r) for _, _, r in ladder]
     attempt = 0

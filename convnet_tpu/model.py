@@ -153,6 +153,7 @@ def _edge_fprop(
     fuse_relu: bool = False,
     defer_bias: bool = False,
     bias=None,
+    spmd: bool = False,
 ):
     t = e.edge_type
     # weighted edges return compute_dtype when set (pure-bf16 chain: the
@@ -178,6 +179,11 @@ def _edge_fprop(
     if t == ET.MAXPOOL:
         return maxpool2d(x, e.kernel_size, e.stride, e.padding)
     if t == ET.RESPONSE_NORM:
+        # the Pallas LRN kernels carry no GSPMD partitioning rule, so a
+        # non-trivial mesh (spmd=True, set from the RESOLVED mesh, not
+        # the pbtxt request) forces the XLA form, which partitions fine;
+        # the kernels are the single-chip fast path
+        be = "xla" if spmd else "auto"
         if bias is not None:
             # the producing conv's deferred bias: added in-kernel, and
             # its gradient comes out of the backward kernel's per-tile
@@ -189,6 +195,7 @@ def _edge_fprop(
                 e.pow_scale,
                 e.frac_of_filters_response_norm,
                 e.response_norm_blocked,
+                backend=be,
                 fuse_relu=fuse_relu,
             )
         return response_norm_cross_map(
@@ -197,6 +204,7 @@ def _edge_fprop(
             e.pow_scale,
             e.frac_of_filters_response_norm,
             e.response_norm_blocked,
+            backend=be,
             fuse_relu=fuse_relu,
         )
     if t == ET.UPSAMPLE:
@@ -216,11 +224,15 @@ def apply_fn(
     train: bool = False,
     dropout_rng: Optional[jax.Array] = None,
     return_layers: Optional[List[str]] = None,
+    spmd: bool = False,
 ) -> Dict[str, jax.Array]:
     """Run fprop. `batch` maps each input layer's data_field to a
     (B, H, W, C) array. Returns {layer_name: activation} for
     `return_layers` (default: all layers) plus "<name>:preact" for
-    output layers (the logits the losses consume)."""
+    output layers (the logits the losses consume). spmd=True means this
+    fprop runs under a non-trivial resolved mesh: unpartitionable
+    Pallas paths (LRN kernels, bias deferral) give way to their XLA
+    forms."""
     cdt = jnp.bfloat16 if graph.compute_dtype == "bfloat16" else None
     # storage dtype: activations (the backward pass's residuals) kept in
     # bf16 halve HBM residual traffic; f32 by default. When compute_dtype
@@ -261,9 +273,11 @@ def apply_fn(
     # when that path is active), whose backward then emits the bias
     # gradient from in-VMEM tile sums — without this XLA re-reads the
     # full dz from HBM just to sum it (1.3 ms/step on AlexNet @1024).
-    # Static plan: layer name -> its single incoming conv edge.
+    # Static plan: layer name -> its single incoming conv edge. A
+    # non-trivial mesh forces the XLA LRN form (no in-VMEM db there),
+    # so the deferral is skipped along with the kernels.
     defer_bias: Dict[str, EdgeSpec] = {}
-    if lrn_bias_fusion_wanted():
+    if lrn_bias_fusion_wanted() and not spmd:
         for name in graph.topo_layer_order():
             l = graph.layer(name)
             inc = graph.incoming(name)
@@ -367,14 +381,14 @@ def apply_fn(
                     # trades FLOPs for HBM on big models/batches)
                     fprop = jax.checkpoint(
                         lambda pp, xx, _e=e, _d=dbias: _edge_fprop(
-                            graph, _e, pp, xx, cdt, defer_bias=_d
+                            graph, _e, pp, xx, cdt, defer_bias=_d, spmd=spmd
                         )
                     )
                     contrib = fprop(p, x_in)
                 else:
                     contrib = _edge_fprop(
                         graph, e, p, x_in, cdt, fuse_relu=fuse,
-                        defer_bias=dbias, bias=lrn_bias,
+                        defer_bias=dbias, bias=lrn_bias, spmd=spmd,
                     )
                 if dbias:
                     pending_bias[name] = p["b"]
@@ -421,6 +435,7 @@ def loss_fn(
     *,
     train: bool = True,
     dropout_rng: Optional[jax.Array] = None,
+    spmd: bool = False,
 ):
     """Mean loss over the batch + aux metrics.
 
@@ -428,7 +443,8 @@ def loss_fn(
     (e.g. "labels"). Returns (loss, {"errors": n_mistakes, ...}).
     """
     outs = apply_fn(
-        graph, params, batch, train=train, dropout_rng=dropout_rng, return_layers=[]
+        graph, params, batch, train=train, dropout_rng=dropout_rng,
+        return_layers=[], spmd=spmd,
     )
     total = 0.0
     metrics: Dict[str, jax.Array] = {}

@@ -888,13 +888,20 @@ def _bias_fusable(x, blocked: bool, backend: str) -> bool:
 
 
 def lrn_bias_fusion_wanted() -> bool:
-    """CONVNET_LRN_BIAS_FUSED=1 defers eligible conv biases into the
-    response-norm kernel (model.apply_fn) — off until the chip A/B
-    (expected ~1.3 ms/step on AlexNet @1024: the two reduce re-reads in
-    the round-4 trace)."""
+    """Defer eligible conv biases into the response-norm kernel
+    (model.apply_fn). Default "auto" = ON for TPU backends since the
+    round-4 chip A/B: 121.44 -> 119.33 ms/step on AlexNet @2048
+    (+2.1 ms — the two bias-grad reduce re-reads in the trace), db
+    f32-accumulated in-kernel. OFF on cpu/gpu: the payoff is the Pallas
+    backward's in-VMEM db sums, which the XLA fallback those backends
+    use doesn't have (and the deferral ~2x'd the CPU suite for
+    nothing). CONVNET_LRN_BIAS_FUSED=0|1 forces."""
     import os
 
-    return os.environ.get("CONVNET_LRN_BIAS_FUSED", "0") == "1"
+    mode = os.environ.get("CONVNET_LRN_BIAS_FUSED", "auto")
+    if mode in ("0", "1"):
+        return mode == "1"
+    return jax.default_backend() not in ("cpu", "gpu")
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))

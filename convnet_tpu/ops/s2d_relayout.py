@@ -319,10 +319,18 @@ s2d_relayout.defvjp(_relayout_fwd, _relayout_bwd)
 
 
 def relayout_wanted() -> bool:
-    """CONVNET_S2D_RELAYOUT=1 opts the jitter->conv1 input path into the
-    fused phase-major einsum + Pallas relayout (off until the chip A/B
-    decides — tools/chipbatch ledger, round 4)."""
-    return os.environ.get("CONVNET_S2D_RELAYOUT", "0") == "1"
+    """The jitter->conv1 input path uses the fused phase-major einsum +
+    Pallas relayout. Default "auto" = ON for TPU backends since the
+    round-4 chip A/B: bit-exact vs the XLA chain on chip and 119.33 ->
+    119.31 ms/step on AlexNet @2048 (neutral-to-slightly-better; part
+    of the measured 17,370 img/s winner config); OFF on cpu/gpu, where
+    the kernel would run in interpret mode as pure overhead (the
+    dedicated tests opt in with CONVNET_S2D_RELAYOUT=1).
+    CONVNET_S2D_RELAYOUT=0|1 forces."""
+    mode = os.environ.get("CONVNET_S2D_RELAYOUT", "auto")
+    if mode in ("0", "1"):
+        return mode == "1"
+    return jax.default_backend() not in ("cpu", "gpu")
 
 
 def jitter_s2d(

@@ -71,7 +71,10 @@ def _fused_prologue_wanted() -> bool:
     return False
 
 
-def _preprocess(graph: Graph, jitter: Optional[JitterMap], batch, rng, train: bool):
+def _preprocess(
+    graph: Graph, jitter: Optional[JitterMap], batch, rng, train: bool,
+    spmd: bool = False,
+):
     """Apply the fused on-device jitter prologue to image inputs.
 
     For a uint8 train batch whose input layer feeds a single strided
@@ -104,7 +107,11 @@ def _preprocess(graph: Graph, jitter: Optional[JitterMap], batch, rng, train: bo
         ):
             from convnet_tpu.ops.s2d_relayout import relayout_wanted
 
-            if relayout_wanted():
+            # the relayout pallas_call carries no partitioning rule, so
+            # the fused path only engages on a trivial resolved mesh
+            # (the single-chip headline config); sharded runs keep the
+            # XLA jitter chain, which GSPMD partitions fine
+            if relayout_wanted() and not spmd:
                 from convnet_tpu.data.jitter import sample_crop_flip
                 from convnet_tpu.ops.prologue import prologue_plan
                 from convnet_tpu.ops.s2d_relayout import jitter_s2d
@@ -193,14 +200,16 @@ def make_train_step(
     numerics are identical because the per-step RNG folds in the step
     counter, not the launch."""
 
+    spmd = mesh is not None
+
     def step_fn(state: TrainState, batch):
         rng = jax.random.fold_in(state["rng"], state["step"])
         data_rng, drop_rng = jax.random.split(rng)
-        proc = _preprocess(graph, jitter, batch, data_rng, train=True)
+        proc = _preprocess(graph, jitter, batch, data_rng, train=True, spmd=spmd)
 
         def loss_of(params):
             return model_lib.loss_fn(
-                graph, params, proc, train=True, dropout_rng=drop_rng
+                graph, params, proc, train=True, dropout_rng=drop_rng, spmd=spmd
             )
 
         (_, metrics), grads = jax.value_and_grad(loss_of, has_aux=True)(
@@ -238,9 +247,11 @@ def make_train_step(
 def make_eval_step(graph: Graph, jitter: Optional[JitterMap] = None, mesh=None):
     """(params, batch) -> metrics; center-crop, no dropout."""
 
+    spmd = mesh is not None
+
     def eval_fn(params, batch):
-        proc = _preprocess(graph, jitter, batch, None, train=False)
-        _, metrics = model_lib.loss_fn(graph, params, proc, train=False)
+        proc = _preprocess(graph, jitter, batch, None, train=False, spmd=spmd)
+        _, metrics = model_lib.loss_fn(graph, params, proc, train=False, spmd=spmd)
         return metrics
 
     if mesh is not None:
@@ -257,9 +268,13 @@ def make_forward(
     With a mesh: batch sharded over the data axis, params per the model's
     sharding rules (multi-chip inference)."""
 
+    spmd = mesh is not None
+
     def fwd(params, batch):
-        proc = _preprocess(graph, jitter, batch, None, train=False)
-        return model_lib.apply_fn(graph, params, proc, train=False, return_layers=layers)
+        proc = _preprocess(graph, jitter, batch, None, train=False, spmd=spmd)
+        return model_lib.apply_fn(
+            graph, params, proc, train=False, return_layers=layers, spmd=spmd
+        )
 
     if mesh is not None:
         ps = mesh_lib.param_shardings(graph, mesh)

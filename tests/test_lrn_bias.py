@@ -293,3 +293,33 @@ def test_train_step_pool_fused_bias_matches(monkeypatch):
                 np.asarray(results["1"][1][e][field], np.float32),
                 rtol=1e-5, atol=1e-7, err_msg=f"{e}/{field}",
             )
+
+
+def test_bias_fusion_skipped_under_mesh(monkeypatch):
+    """The Pallas LRN kernels carry no GSPMD partitioning rule, so the
+    bias deferral must stand down under a non-trivial resolved mesh
+    even when CONVNET_LRN_BIAS_FUSED=1 forces it on (model.apply_fn
+    spmd gate; the LRN itself routes backend="xla" there)."""
+    from convnet_tpu import model as model_lib
+    from convnet_tpu.parallel.mesh import make_mesh
+    from convnet_tpu.trainer import init_state, make_train_step
+
+    monkeypatch.setenv("CONVNET_LRN_BIAS_FUSED", "1")
+
+    def boom(*a, **k):
+        raise AssertionError("bias-fused LRN must not engage under a mesh")
+
+    monkeypatch.setattr(model_lib, "response_norm_cross_map_bias", boom)
+    g = build_graph(config.parse_model(NET))
+    rng = np.random.RandomState(7)
+    batch = {
+        "input": jnp.asarray(rng.rand(16, 12, 12, 3).astype(np.float32)),
+        "labels": jnp.asarray(rng.randint(0, 5, (16,)).astype(np.int32)),
+    }
+    mesh = make_mesh(2, 1, jax.devices()[:2])
+    step = make_train_step(g, None, mesh=mesh)
+    step.lower(init_state(g), batch)  # traces clean: deferral skipped
+
+    # validity check: single-device tracing must hit the sentinel
+    with pytest.raises(AssertionError, match="must not engage"):
+        make_train_step(g, None).lower(init_state(g), batch)

@@ -285,3 +285,40 @@ def test_block_plan_is_mosaic_legal(b, cin, crop, kernel, stride):
     assert grid[0] * 16 == s * pp and grid[1] * in_block[0] == b
     live = 2 * (cin * np.prod(in_block) + np.prod(out_block))  # bf16
     assert 2 * live <= 16 * 2**20, f"double-buffered blocks {2*live/2**20:.1f} MB"
+
+
+def test_relayout_skipped_under_mesh(monkeypatch):
+    """The relayout pallas_call carries no GSPMD partitioning rule, so
+    the trainer must keep the XLA jitter chain under a non-trivial
+    resolved mesh even when CONVNET_S2D_RELAYOUT=1 forces the path on
+    (trainer._preprocess spmd gate)."""
+    from convnet_tpu.ops import s2d_relayout as sr
+    from convnet_tpu.parallel.mesh import make_mesh
+    from convnet_tpu.trainer import init_state, make_train_step
+
+    monkeypatch.setenv("CONVNET_S2D_RELAYOUT", "1")
+
+    def boom(*a, **k):
+        raise AssertionError("jitter_s2d must not engage under a mesh")
+
+    monkeypatch.setattr(sr, "jitter_s2d", boom)
+    g = build_graph(config.parse_model(NET))
+    jitter = {
+        "input": (
+            JitterSpec(image_size=CROP, can_translate=True, can_flip=True, scale=1 / 255),
+            np.full((3,), 0.45, np.float32),
+            None,
+        )
+    }
+    rng = np.random.RandomState(7)
+    batch = {
+        "input": jnp.asarray(rng.randint(0, 256, (B, RAW, RAW, 3)).astype(np.uint8)),
+        "labels": jnp.asarray(rng.randint(0, 5, (B,)).astype(np.int32)),
+    }
+    mesh = make_mesh(2, 1, jax.devices()[:2])
+    step = make_train_step(g, jitter, mesh=mesh)
+    step.lower(init_state(g), batch)  # traces clean: gate kept XLA chain
+
+    # validity check: single-device tracing must hit the sentinel
+    with pytest.raises(AssertionError, match="must not engage"):
+        make_train_step(g, jitter).lower(init_state(g), batch)
