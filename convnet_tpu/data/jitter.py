@@ -11,12 +11,34 @@ pipeline.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def crop_dot_dtype() -> str:
+    """Element type for the one-hot crop/flip MXU contractions.
+
+    "s8": one-hots and pixels ride as int8 — pixels shifted by -128 to
+    fit s8 (the MXU int8 path is signed), exactly restored in the
+    integer epilogue — and the dots emit s32. Halves the one-hot and
+    intermediate HBM traffic of the bf16 form and doubles the MXU rate;
+    bit-exact (every value is a small integer). "bf16": the round-2
+    form. Default "auto" = bf16 everywhere until the chip A/B
+    (tools/r4_chip9.py) lands; CONVNET_CROP_DOT=bf16|s8 forces."""
+    mode = os.environ.get("CONVNET_CROP_DOT", "auto")
+    if mode in ("bf16", "s8"):
+        return mode
+    return "bf16"
+
+
+def _shift_s8(x: jax.Array) -> jax.Array:
+    """uint8 pixels -> int8 (value - 128); exact, reversed post-dot."""
+    return (x.astype(jnp.int16) - 128).astype(jnp.int8)
 
 
 @dataclass(frozen=True)
@@ -48,6 +70,21 @@ def _onehot_crop_flip(x, s, oy, ox, flips):
     if flips is not None:
         tgt = jnp.where(flips[:, None], s - 1 - ii[None, :], tgt)
     oh_cols = (ox[:, None, None] + tgt[:, :, None] == jnp.arange(w)[None, None, :])
+    if crop_dot_dtype() == "s8":
+        # int8 MXU dots: halve the one-hot/intermediate traffic and run
+        # the MXU at its s8 rate. Every position is inside the crop here
+        # so the -128 shift is restored unconditionally; the intermediate
+        # y holds single shifted pixels in [-128, 127] — s8-exact.
+        xs = _shift_s8(x)
+        y = jnp.einsum(
+            "bih,bhwc->biwc", oh_rows.astype(jnp.int8), xs,
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.int8)
+        z = jnp.einsum(
+            "bjw,biwc->bijc", oh_cols.astype(jnp.int8), y,
+            preferred_element_type=jnp.int32,
+        )
+        return (z + 128).astype(jnp.bfloat16)
     xb = x.astype(jnp.bfloat16)
     y = jnp.einsum("bih,bhwc->biwc", oh_rows.astype(jnp.bfloat16), xb)
     return jnp.einsum("bjw,biwc->bijc", oh_cols.astype(jnp.bfloat16), y)

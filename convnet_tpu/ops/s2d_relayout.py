@@ -52,6 +52,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from convnet_tpu.data.jitter import _shift_s8, crop_dot_dtype
 from convnet_tpu.graph import conv_out_size
 from convnet_tpu.ops.conv import S2DInput
 
@@ -113,13 +114,33 @@ def jitter_crop_phased(
         (ox[:, None] + tc)[:, :, None] == jnp.arange(w)[None, None, :]
     ) & vj[None, :, None]
 
-    xb = jnp.transpose(x, (0, 3, 1, 2)).astype(jnp.bfloat16)  # (B,C,H,W)
-    # (b,c,h,w) x (b,i,h) -> (b,c,w,i): natural (batch, lhs_free, rhs_free)
-    y = jnp.einsum("bchw,bih->bcwi", xb, oh_rows.astype(jnp.bfloat16))
-    # (b,c,w,i) x (b,j,w) -> (b,c,i,j): natural order again
-    z = jnp.einsum("bcwi,bjw->bcij", y, oh_cols.astype(jnp.bfloat16))
-
-    zf = z.astype(jnp.float32)
+    if crop_dot_dtype() == "s8":
+        # int8 MXU dots (see data.jitter.crop_dot_dtype): the raw NHWC
+        # batch is contracted directly — no (B,C,H,W) transpose pass —
+        # pixels shifted to s8 and the one-hots ride as s8, both dots
+        # s32-exact. The -128 shift is restored only where a one-hot
+        # row AND column actually fired (the folded ceil-mode pad
+        # positions have all-zero one-hots and must stay exactly 0).
+        xs = _shift_s8(x)
+        # (b,h,w,c) x (b,i,h) -> (b,w,c,i): natural (batch, lhs_free, rhs_free)
+        y = jnp.einsum(
+            "bhwc,bih->bwci", xs, oh_rows.astype(jnp.int8),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.int8)  # single shifted pixels in [-128,127]: exact
+        # (b,w,c,i) x (b,j,w) -> (b,c,i,j): natural order again
+        z32 = jnp.einsum(
+            "bwci,bjw->bcij", y, oh_cols.astype(jnp.int8),
+            preferred_element_type=jnp.int32,
+        )
+        v2 = (vj[:, None] & vj[None, :])[None, None, :, :]
+        zf = z32.astype(jnp.float32) + 128.0 * v2.astype(jnp.float32)
+    else:
+        xb = jnp.transpose(x, (0, 3, 1, 2)).astype(jnp.bfloat16)  # (B,C,H,W)
+        # (b,c,h,w) x (b,i,h) -> (b,c,w,i): natural (batch, lhs_free, rhs_free)
+        y = jnp.einsum("bchw,bih->bcwi", xb, oh_rows.astype(jnp.bfloat16))
+        # (b,c,w,i) x (b,j,w) -> (b,c,i,j): natural order again
+        z = jnp.einsum("bcwi,bjw->bcij", y, oh_cols.astype(jnp.bfloat16))
+        zf = z.astype(jnp.float32)
     if scale != 1.0:
         zf = zf * scale
     if mean is not None:

@@ -78,6 +78,25 @@ def test_uint8_input_cast():
     np.testing.assert_allclose(np.asarray(out), 1.0, rtol=1e-5)
 
 
+def test_crop_dot_s8_matches_bf16(monkeypatch):
+    """CONVNET_CROP_DOT=s8 (int8 MXU one-hot dots, pixels shifted -128
+    and restored) must be BIT-exact vs the bf16 form: both paths only
+    ever move exact small integers. Covers the full uint8 extremes incl.
+    255 (the s8 overflow hazard the shift exists for) and flips."""
+    rng = jax.random.PRNGKey(3)
+    x = np.random.RandomState(5).randint(0, 256, (16, 10, 10, 3), np.uint8)
+    x[0, :, :, :] = 255
+    x[1, :, :, :] = 0
+    spec = JitterSpec(image_size=6, can_translate=True, can_flip=True, scale=1 / 255)
+    mean = np.array([0.4, 0.5, 0.6], np.float32)
+
+    monkeypatch.setenv("CONVNET_CROP_DOT", "bf16")
+    want = np.asarray(jitter_batch(jnp.asarray(x), spec, rng, True, mean=mean))
+    monkeypatch.setenv("CONVNET_CROP_DOT", "s8")
+    got = np.asarray(jitter_batch(jnp.asarray(x), spec, rng, True, mean=mean))
+    np.testing.assert_array_equal(got, want)
+
+
 # ---------------------------------------------------------------------------
 # HDF5 stream + flat-row reshape
 # ---------------------------------------------------------------------------

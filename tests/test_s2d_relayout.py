@@ -287,6 +287,33 @@ def test_block_plan_is_mosaic_legal(b, cin, crop, kernel, stride):
     assert 2 * live <= 16 * 2**20, f"double-buffered blocks {2*live/2**20:.1f} MB"
 
 
+def test_phased_crop_dot_s8_matches_bf16(monkeypatch):
+    """CONVNET_CROP_DOT=s8 (int8 MXU one-hot dots on the raw NHWC
+    batch; pixels shifted -128 and restored only where the one-hots
+    fired) must be BIT-exact vs the bf16 form, including the folded
+    ceil-mode pad staying exactly 0 through the mean/std affine."""
+    rng = np.random.RandomState(11)
+    x = rng.randint(0, 256, (B, RAW, RAW, 3), dtype=np.uint8)
+    x[0] = 255  # s8 overflow hazard the shift exists for
+    key = jax.random.PRNGKey(13)
+    oy, ox, flips = sample_crop_flip(key, B, RAW, RAW, CROP, True, True)
+    _, p_pad = relayout_geometry(CROP, KERNEL, STRIDE)
+    args = dict(
+        crop=CROP, stride=STRIDE, p_pad=p_pad, scale=1 / 255,
+        mean=np.asarray([0.4, 0.5, 0.6], np.float32),
+        std=np.asarray([0.2, 0.25, 0.3], np.float32),
+    )
+    monkeypatch.setenv("CONVNET_CROP_DOT", "bf16")
+    want = np.asarray(
+        jitter_crop_phased(jnp.asarray(x), oy, ox, flips, **args), np.float32
+    )
+    monkeypatch.setenv("CONVNET_CROP_DOT", "s8")
+    got = np.asarray(
+        jitter_crop_phased(jnp.asarray(x), oy, ox, flips, **args), np.float32
+    )
+    np.testing.assert_array_equal(got, want)
+
+
 def test_relayout_skipped_under_mesh(monkeypatch):
     """The relayout pallas_call carries no GSPMD partitioning rule, so
     the trainer must keep the XLA jitter chain under a non-trivial
