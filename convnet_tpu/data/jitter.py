@@ -27,11 +27,17 @@ def crop_dot_dtype() -> str:
     fit s8 (the MXU int8 path is signed), exactly restored in the
     integer epilogue — and the dots emit s32. Halves the one-hot and
     intermediate HBM traffic of the bf16 form and doubles the MXU rate;
-    bit-exact (every value is a small integer). "bf16": the round-2
-    form. Default "auto" = bf16 everywhere until the chip A/B
-    (tools/r4_chip9.py) lands; CONVNET_CROP_DOT=bf16|s8 forces."""
+    bit-exact (every value is a small integer). Measured NEUTRAL at
+    B=4096 (tools/r4_chip9.py, +0.54 ms): the dots lower to
+    convolution-base-dilated whose rate, not traffic, bounds the
+    segment. "bf16": the round-2 form (phased path: via a (B,C,H,W)
+    transpose pass). "bf16d": bf16 dots contracting the raw NHWC batch
+    directly with the s8 branch's operand order — same exact values
+    (one-hot sums have a single term), no transpose pass. Default
+    "auto" = bf16 until the bf16d chip A/B (tools/r4_chip10.py) lands;
+    CONVNET_CROP_DOT=bf16|bf16d|s8 forces."""
     mode = os.environ.get("CONVNET_CROP_DOT", "auto")
-    if mode in ("bf16", "s8"):
+    if mode in ("bf16", "bf16d", "s8"):
         return mode
     return "bf16"
 

@@ -134,6 +134,18 @@ def jitter_crop_phased(
         )
         v2 = (vj[:, None] & vj[None, :])[None, None, :, :]
         zf = z32.astype(jnp.float32) + 128.0 * v2.astype(jnp.float32)
+    elif crop_dot_dtype() == "bf16d":
+        # bf16 dots over the raw NHWC batch — the s8 branch's operand
+        # order without the integer shift: kills the (B,C,H,W)
+        # transpose+cast pass (fusion.5, ~3.8 ms at B=4096) the "bf16"
+        # form pays. Values are bitwise identical to "bf16" (every
+        # one-hot contraction has exactly one nonzero term).
+        xb = x.astype(jnp.bfloat16)
+        # (b,h,w,c) x (b,i,h) -> (b,w,c,i): natural (batch, lhs_free, rhs_free)
+        y = jnp.einsum("bhwc,bih->bwci", xb, oh_rows.astype(jnp.bfloat16))
+        # (b,w,c,i) x (b,j,w) -> (b,c,i,j): natural order again
+        z = jnp.einsum("bwci,bjw->bcij", y, oh_cols.astype(jnp.bfloat16))
+        zf = z.astype(jnp.float32)
     else:
         xb = jnp.transpose(x, (0, 3, 1, 2)).astype(jnp.bfloat16)  # (B,C,H,W)
         # (b,c,h,w) x (b,i,h) -> (b,c,w,i): natural (batch, lhs_free, rhs_free)

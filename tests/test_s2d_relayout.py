@@ -312,6 +312,13 @@ def test_phased_crop_dot_s8_matches_bf16(monkeypatch):
         jitter_crop_phased(jnp.asarray(x), oy, ox, flips, **args), np.float32
     )
     np.testing.assert_array_equal(got, want)
+    # bf16d (transpose-free NHWC bf16 dots) must also be BIT-exact vs
+    # bf16: same values through single-term one-hot contractions.
+    monkeypatch.setenv("CONVNET_CROP_DOT", "bf16d")
+    got_d = np.asarray(
+        jitter_crop_phased(jnp.asarray(x), oy, ox, flips, **args), np.float32
+    )
+    np.testing.assert_array_equal(got_d, want)
 
 
 def test_relayout_skipped_under_mesh(monkeypatch):
