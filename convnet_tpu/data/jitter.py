@@ -33,8 +33,10 @@ def crop_dot_dtype() -> str:
     segment. "bf16": the round-2 form (phased path: via a (B,C,H,W)
     transpose pass). "bf16d": bf16 dots contracting the raw NHWC batch
     directly with the s8 branch's operand order — same exact values
-    (one-hot sums have a single term), no transpose pass. Default
-    "auto" = bf16 until the bf16d chip A/B (tools/r4_chip10.py) lands;
+    (one-hot sums have a single term), no transpose pass; its chip A/B
+    (tools/r4_chip10.py) landed NEUTRAL (+0.03 ms full step at B=4096 —
+    the segment is insensitive to the dot formulation, BASELINE.md).
+    Default "auto" = bf16, the measured default;
     CONVNET_CROP_DOT=bf16|bf16d|s8 forces."""
     mode = os.environ.get("CONVNET_CROP_DOT", "auto")
     if mode in ("bf16", "bf16d", "s8"):

@@ -153,7 +153,7 @@ def _edge_fprop(
     fuse_relu: bool = False,
     defer_bias: bool = False,
     bias=None,
-    spmd: bool = False,
+    mesh=None,
 ):
     t = e.edge_type
     # weighted edges return compute_dtype when set (pure-bf16 chain: the
@@ -179,11 +179,11 @@ def _edge_fprop(
     if t == ET.MAXPOOL:
         return maxpool2d(x, e.kernel_size, e.stride, e.padding)
     if t == ET.RESPONSE_NORM:
-        # the Pallas LRN kernels carry no GSPMD partitioning rule, so a
-        # non-trivial mesh (spmd=True, set from the RESOLVED mesh, not
-        # the pbtxt request) forces the XLA form, which partitions fine;
-        # the kernels are the single-chip fast path
-        be = "xla" if spmd else "auto"
+        # the Pallas LRN kernels run under any RESOLVED mesh: ops/lrn.py
+        # shard_maps them over the "data" axis (the op is batch-parallel),
+        # so multi-chip runs keep the single-chip fast path — the
+        # reference's model split ran identical kernels on every GPU
+        # (src/multigpu_convnet.cc [U])
         if bias is not None:
             # the producing conv's deferred bias: added in-kernel, and
             # its gradient comes out of the backward kernel's per-tile
@@ -195,8 +195,9 @@ def _edge_fprop(
                 e.pow_scale,
                 e.frac_of_filters_response_norm,
                 e.response_norm_blocked,
-                backend=be,
+                backend="auto",
                 fuse_relu=fuse_relu,
+                mesh=mesh,
             )
         return response_norm_cross_map(
             x,
@@ -204,8 +205,9 @@ def _edge_fprop(
             e.pow_scale,
             e.frac_of_filters_response_norm,
             e.response_norm_blocked,
-            backend=be,
+            backend="auto",
             fuse_relu=fuse_relu,
+            mesh=mesh,
         )
     if t == ET.UPSAMPLE:
         return upsample(x, e.sample_factor)
@@ -224,15 +226,14 @@ def apply_fn(
     train: bool = False,
     dropout_rng: Optional[jax.Array] = None,
     return_layers: Optional[List[str]] = None,
-    spmd: bool = False,
+    mesh=None,
 ) -> Dict[str, jax.Array]:
     """Run fprop. `batch` maps each input layer's data_field to a
     (B, H, W, C) array. Returns {layer_name: activation} for
     `return_layers` (default: all layers) plus "<name>:preact" for
-    output layers (the logits the losses consume). spmd=True means this
-    fprop runs under a non-trivial resolved mesh: unpartitionable
-    Pallas paths (LRN kernels, bias deferral) give way to their XLA
-    forms."""
+    output layers (the logits the losses consume). mesh: the RESOLVED
+    device mesh (None single-device) — the Pallas LRN/bias-fusion paths
+    shard_map over its "data" axis so sharded runs keep the kernels."""
     cdt = jnp.bfloat16 if graph.compute_dtype == "bfloat16" else None
     # storage dtype: activations (the backward pass's residuals) kept in
     # bf16 halve HBM residual traffic; f32 by default. When compute_dtype
@@ -264,7 +265,10 @@ def apply_fn(
     # an LRN layer whose sole consumer is a maxpool is not materialized
     # here; the pool's edge emits lrn_maxpool over the LRN's input, whose
     # custom VJP runs pool-undo + LRN-backward as ONE Pallas pass.
-    fuse_pool_lrn = train and pool_lrn_fusion_wanted()
+    # FROZEN single-device-only (round-5 disposition, docs/performance.md):
+    # measured -4.4 ms as-built, so it gets no shard_map wiring — a mesh
+    # keeps the unfused chain.
+    fuse_pool_lrn = train and pool_lrn_fusion_wanted() and mesh is None
     deferred_lrn: Dict[str, Tuple[EdgeSpec, jax.Array, bool]] = {}
 
     # Bias deferral (opt-in, see ops/lrn.py response_norm_cross_map_bias):
@@ -273,11 +277,11 @@ def apply_fn(
     # when that path is active), whose backward then emits the bias
     # gradient from in-VMEM tile sums — without this XLA re-reads the
     # full dz from HBM just to sum it (1.3 ms/step on AlexNet @1024).
-    # Static plan: layer name -> its single incoming conv edge. A
-    # non-trivial mesh forces the XLA LRN form (no in-VMEM db there),
-    # so the deferral is skipped along with the kernels.
+    # Static plan: layer name -> its single incoming conv edge. Under a
+    # mesh the bias-fused kernels run per-shard via shard_map (ops/lrn.py),
+    # so the deferral stays on.
     defer_bias: Dict[str, EdgeSpec] = {}
-    if lrn_bias_fusion_wanted() and not spmd:
+    if lrn_bias_fusion_wanted():
         for name in graph.topo_layer_order():
             l = graph.layer(name)
             inc = graph.incoming(name)
@@ -381,14 +385,14 @@ def apply_fn(
                     # trades FLOPs for HBM on big models/batches)
                     fprop = jax.checkpoint(
                         lambda pp, xx, _e=e, _d=dbias: _edge_fprop(
-                            graph, _e, pp, xx, cdt, defer_bias=_d, spmd=spmd
+                            graph, _e, pp, xx, cdt, defer_bias=_d, mesh=mesh
                         )
                     )
                     contrib = fprop(p, x_in)
                 else:
                     contrib = _edge_fprop(
                         graph, e, p, x_in, cdt, fuse_relu=fuse,
-                        defer_bias=dbias, bias=lrn_bias, spmd=spmd,
+                        defer_bias=dbias, bias=lrn_bias, mesh=mesh,
                     )
                 if dbias:
                     pending_bias[name] = p["b"]
@@ -435,7 +439,7 @@ def loss_fn(
     *,
     train: bool = True,
     dropout_rng: Optional[jax.Array] = None,
-    spmd: bool = False,
+    mesh=None,
 ):
     """Mean loss over the batch + aux metrics.
 
@@ -444,7 +448,7 @@ def loss_fn(
     """
     outs = apply_fn(
         graph, params, batch, train=train, dropout_rng=dropout_rng,
-        return_layers=[], spmd=spmd,
+        return_layers=[], mesh=mesh,
     )
     total = 0.0
     metrics: Dict[str, jax.Array] = {}

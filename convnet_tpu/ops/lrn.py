@@ -52,7 +52,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
-from convnet_tpu.ops.pallas_util import pallas_interpret
+from convnet_tpu.ops.pallas_util import mesh_dp, pallas_interpret, shmap
 
 
 def norm_window_size(num_channels: int, frac: float) -> int:
@@ -752,7 +752,7 @@ def _use_pallas(backend: str, c: int) -> bool:
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5, 6, 7))
 def response_norm_cross_map(
     x: jax.Array,
     add_scale: float,
@@ -761,6 +761,7 @@ def response_norm_cross_map(
     blocked: bool = False,
     backend: str = "auto",
     fuse_relu: bool = False,
+    mesh=None,
 ) -> jax.Array:
     """y = x * (1 + (add_scale/n) * window_sum(x^2))^(-pow_scale) over the
     channel (last) axis. x: (..., C). backend: "auto" | "pallas" | "xla".
@@ -775,85 +776,137 @@ def response_norm_cross_map(
     AlexNet batch 1024).
 
     I/O keeps x's dtype (bf16 activations stream at half the HBM cost);
-    internal math is always f32."""
+    internal math is always f32.
+
+    mesh: the RESOLVED device mesh, or None. The Pallas kernels carry no
+    GSPMD partitioning rule, so under a non-trivial mesh they run inside
+    shard_map over the "data" (batch) axis — each shard executes the
+    same kernel on its local batch rows (the op is batch-parallel: the
+    window spans channels only). Model-axis-sharded inputs are gathered
+    to full channel width at the shard_map boundary, exactly where the
+    XLA form needed its all-gather too (the window is channel-global)."""
     return _lrn_fwd(
-        x, add_scale, pow_scale, frac_of_filters, blocked, backend, fuse_relu
+        x, add_scale, pow_scale, frac_of_filters, blocked, backend, fuse_relu,
+        mesh,
     )
 
 
-def _lrn_fwd(x, add_scale, pow_scale, frac, blocked, backend, relu=False):
+def _lrn_pallas_fwd_local(x, n, blocked, alpha, beta, interp, relu):
+    """Pallas forward on a (per-shard) local array; picks the kernel form
+    from the LOCAL shapes (under shard_map the lane-axis batch is the
+    per-shard batch)."""
+    c = x.shape[-1]
+    form = _pick_form(c, x.shape[0]) if x.ndim == 4 and not blocked else "2d"
+    if x.ndim == 4 and not blocked and form == "r2d":
+        xt = jnp.transpose(x, (1, 2, 3, 0))
+        yt = _pallas_r(False, (xt,), n, blocked, alpha, beta, interp, relu=relu)
+        return jnp.transpose(yt, (3, 0, 1, 2)).astype(x.dtype)
+    if x.ndim == 4 and not blocked and form == "t":
+        xt = jnp.transpose(x, (1, 2, 3, 0))
+        yt = _pallas_t(False, (xt,), n, alpha, beta, interp, relu=relu)
+        return jnp.transpose(yt, (3, 0, 1, 2)).astype(x.dtype)
+    if x.ndim == 4 and not blocked:
+        # (H, W, B, C) view: for C-minor activations ({3,0,2,1}, what
+        # XLA picks for lane-aligned C) this permutation is a bitcast
+        b_, h_, w_, c_ = x.shape
+        x2 = jnp.transpose(x, (1, 2, 0, 3)).reshape(-1, c)
+        y2 = _pallas_fwd(x2, n, blocked, alpha, beta, interpret=interp, relu=relu)
+        y4 = y2.reshape(h_, w_, b_, c_)
+        return jnp.transpose(y4, (2, 0, 1, 3)).astype(x.dtype)
+    y2d = _pallas_fwd(
+        x.reshape(-1, c), n, blocked, alpha, beta, interpret=interp, relu=relu
+    )
+    return y2d.reshape(x.shape).astype(x.dtype)
+
+
+def _lrn_pallas_bwd_local(g, x, n, blocked, alpha, beta, interp, relu):
+    """Pallas backward (dx only) on local arrays — see _lrn_pallas_fwd_local."""
+    c = x.shape[-1]
+    form = _pick_form(c, x.shape[0]) if x.ndim == 4 and not blocked else "2d"
+    if x.ndim == 4 and not blocked and form == "r2d":
+        xt = jnp.transpose(x, (1, 2, 3, 0))
+        gt = jnp.transpose(g.astype(x.dtype), (1, 2, 3, 0))
+        dxt = _pallas_r(True, (gt, xt), n, blocked, alpha, beta, interp, relu=relu)
+        return jnp.transpose(dxt, (3, 0, 1, 2)).astype(x.dtype)
+    if x.ndim == 4 and not blocked and form == "t":
+        xt = jnp.transpose(x, (1, 2, 3, 0))
+        gt = jnp.transpose(g.astype(x.dtype), (1, 2, 3, 0))
+        dxt = _pallas_t(True, (gt, xt), n, alpha, beta, interp, relu=relu)
+        return jnp.transpose(dxt, (3, 0, 1, 2)).astype(x.dtype)
+    if x.ndim == 4 and not blocked:
+        b_, h_, w_, c_ = x.shape
+        x2 = jnp.transpose(x, (1, 2, 0, 3)).reshape(-1, c)
+        g2 = jnp.transpose(g.astype(x.dtype), (1, 2, 0, 3)).reshape(-1, c)
+        dx2 = _pallas_bwd(
+            g2, x2, n, blocked, alpha, beta, interpret=interp, relu=relu
+        )
+        dx4 = dx2.reshape(h_, w_, b_, c_)
+        return jnp.transpose(dx4, (2, 0, 1, 3)).astype(x.dtype)
+    x2d = x.reshape(-1, c)
+    g2d = g.reshape(-1, c).astype(x2d.dtype)
+    dx2d = _pallas_bwd(
+        g2d, x2d, n, blocked, alpha, beta, interpret=interp, relu=relu
+    )
+    return dx2d.reshape(x.shape).astype(x.dtype)
+
+
+def _pallas_routable(backend, c, b, mesh) -> bool:
+    """Pallas path taken (globally or via shard_map)? Under a mesh the
+    global batch must divide the data axis so every shard sees the same
+    local shape."""
+    return _use_pallas(backend, c) and b % mesh_dp(mesh) == 0
+
+
+def _lrn_fwd(x, add_scale, pow_scale, frac, blocked, backend, relu=False,
+             mesh=None):
     c = x.shape[-1]
     n = norm_window_size(c, frac)
     alpha = add_scale / n
     beta = float(pow_scale)
-    if _use_pallas(backend, c):
+    if _pallas_routable(backend, c, x.shape[0], mesh):
         interp = pallas_interpret()  # tests force backend="pallas"
-        form = _pick_form(c, x.shape[0]) if x.ndim == 4 and not blocked else "2d"
-        if x.ndim == 4 and not blocked and form == "r2d":
-            xt = jnp.transpose(x, (1, 2, 3, 0))
-            yt = _pallas_r(False, (xt,), n, blocked, alpha, beta, interp, relu=relu)
-            return jnp.transpose(yt, (3, 0, 1, 2)).astype(x.dtype)
-        if x.ndim == 4 and not blocked and form == "t":
-            xt = jnp.transpose(x, (1, 2, 3, 0))
-            yt = _pallas_t(False, (xt,), n, alpha, beta, interp, relu=relu)
-            return jnp.transpose(yt, (3, 0, 1, 2)).astype(x.dtype)
-        if x.ndim == 4 and not blocked:
-            # (H, W, B, C) view: for C-minor activations ({3,0,2,1}, what
-            # XLA picks for lane-aligned C) this permutation is a bitcast
-            b_, h_, w_, c_ = x.shape
-            x2 = jnp.transpose(x, (1, 2, 0, 3)).reshape(-1, c)
-            y2 = _pallas_fwd(x2, n, blocked, alpha, beta, interpret=interp, relu=relu)
-            y4 = y2.reshape(h_, w_, b_, c_)
-            return jnp.transpose(y4, (2, 0, 1, 3)).astype(x.dtype)
-        y2d = _pallas_fwd(
-            x.reshape(-1, c), n, blocked, alpha, beta, interpret=interp, relu=relu
-        )
-        return y2d.reshape(x.shape).astype(x.dtype)
+
+        def local(xl):
+            return _lrn_pallas_fwd_local(xl, n, blocked, alpha, beta, interp, relu)
+
+        if mesh is not None:
+            from jax.sharding import PartitionSpec as P
+
+            return shmap(local, mesh, (P("data"),), P("data"))(x)
+        return local(x)
     # XLA path: no reshape, no materialized cast — the f32 math happens in
     # registers inside whatever fusion/layout XLA picks for the neighbors,
-    # so this form composes with zero boundary copies.
+    # so this form composes with zero boundary copies (and GSPMD partitions
+    # it without help — no shard_map needed).
     y = _fwd_math(x.astype(jnp.float32), n, blocked, c, alpha, beta, relu=relu)
     return y.astype(x.dtype)
 
 
-def _lrn_fwd_vjp(x, add_scale, pow_scale, frac, blocked, backend, fuse_relu=False):
-    y = _lrn_fwd(x, add_scale, pow_scale, frac, blocked, backend, fuse_relu)
+def _lrn_fwd_vjp(x, add_scale, pow_scale, frac, blocked, backend, fuse_relu=False,
+                 mesh=None):
+    y = _lrn_fwd(x, add_scale, pow_scale, frac, blocked, backend, fuse_relu, mesh)
     return y, x  # d is recomputed in the bwd kernel — no HBM residual
 
 
-def _lrn_bwd_vjp(add_scale, pow_scale, frac, blocked, backend, fuse_relu, x, g):
+def _lrn_bwd_vjp(add_scale, pow_scale, frac, blocked, backend, fuse_relu, mesh,
+                 x, g):
     c = x.shape[-1]
     n = norm_window_size(c, frac)
     alpha = add_scale / n
     beta = float(pow_scale)
-    if _use_pallas(backend, c):
+    if _pallas_routable(backend, c, x.shape[0], mesh):
         interp = pallas_interpret()
-        form = _pick_form(c, x.shape[0]) if x.ndim == 4 and not blocked else "2d"
-        if x.ndim == 4 and not blocked and form == "r2d":
-            xt = jnp.transpose(x, (1, 2, 3, 0))
-            gt = jnp.transpose(g.astype(x.dtype), (1, 2, 3, 0))
-            dxt = _pallas_r(True, (gt, xt), n, blocked, alpha, beta, interp, relu=fuse_relu)
-            return (jnp.transpose(dxt, (3, 0, 1, 2)).astype(x.dtype),)
-        if x.ndim == 4 and not blocked and form == "t":
-            xt = jnp.transpose(x, (1, 2, 3, 0))
-            gt = jnp.transpose(g.astype(x.dtype), (1, 2, 3, 0))
-            dxt = _pallas_t(True, (gt, xt), n, alpha, beta, interp, relu=fuse_relu)
-            return (jnp.transpose(dxt, (3, 0, 1, 2)).astype(x.dtype),)
-        if x.ndim == 4 and not blocked:
-            b_, h_, w_, c_ = x.shape
-            x2 = jnp.transpose(x, (1, 2, 0, 3)).reshape(-1, c)
-            g2 = jnp.transpose(g.astype(x.dtype), (1, 2, 0, 3)).reshape(-1, c)
-            dx2 = _pallas_bwd(
-                g2, x2, n, blocked, alpha, beta, interpret=interp, relu=fuse_relu
+
+        def local(gl, xl):
+            return _lrn_pallas_bwd_local(
+                gl, xl, n, blocked, alpha, beta, interp, fuse_relu
             )
-            dx4 = dx2.reshape(h_, w_, b_, c_)
-            return (jnp.transpose(dx4, (2, 0, 1, 3)).astype(x.dtype),)
-        x2d = x.reshape(-1, c)
-        g2d = g.reshape(-1, c).astype(x2d.dtype)
-        dx2d = _pallas_bwd(
-            g2d, x2d, n, blocked, alpha, beta, interpret=interp, relu=fuse_relu
-        )
-        return (dx2d.reshape(x.shape).astype(x.dtype),)
+
+        if mesh is not None:
+            from jax.sharding import PartitionSpec as P
+
+            return (shmap(local, mesh, (P("data"), P("data")), P("data"))(g, x),)
+        return (local(g, x),)
     dx = _bwd_math(
         g.astype(jnp.float32), x.astype(jnp.float32), n, blocked, c, alpha, beta,
         relu=fuse_relu,
@@ -869,20 +922,31 @@ response_norm_cross_map.defvjp(_lrn_fwd_vjp, _lrn_bwd_vjp)
 # ---------------------------------------------------------------------------
 
 
-def _bias_fusable(x, blocked: bool, backend: str) -> bool:
+def _bias_fusable(x, blocked: bool, backend: str, mesh=None) -> bool:
     """The in-kernel bias path needs a shipping Pallas form (r2d or
     exact-tiled folded-2D). Everything else composes x + b in XLA —
-    numerically identical, just without the db-re-read saving."""
+    numerically identical, just without the db-re-read saving.
+
+    Under a mesh the decision runs on the PER-SHARD batch (shard_map
+    hands each shard its local rows — the form choice inside the body
+    must agree with this gate)."""
     c = x.shape[-1]
-    if not _use_pallas(backend, c) or blocked or x.ndim != 4:
+    dp = mesh_dp(mesh)
+    if (
+        not _use_pallas(backend, c)
+        or blocked
+        or x.ndim != 4
+        or x.shape[0] % dp
+    ):
         return False
-    form = _pick_form(c, x.shape[0])
+    shard_b = x.shape[0] // dp
+    form = _pick_form(c, shard_b)
     if form == "r2d":
         return True
     if form == "2d":
-        b_, h_, w_, c_ = x.shape
-        fold = _fold_factor(h_ * w_ * b_, c_, x.dtype)
-        m = h_ * w_ * b_ // fold
+        _, h_, w_, c_ = x.shape
+        fold = _fold_factor(h_ * w_ * shard_b, c_, x.dtype)
+        m = h_ * w_ * shard_b // fold
         return m % _pick_tile(m, c_ * fold) == 0
     return False
 
@@ -904,7 +968,7 @@ def lrn_bias_fusion_wanted() -> bool:
     return jax.default_backend() not in ("cpu", "gpu")
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8))
 def response_norm_cross_map_bias(
     x: jax.Array,
     b: jax.Array,
@@ -914,6 +978,7 @@ def response_norm_cross_map_bias(
     blocked: bool = False,
     backend: str = "auto",
     fuse_relu: bool = False,
+    mesh=None,
 ) -> jax.Array:
     """response_norm_cross_map(x + b) with the bias add fused into the
     kernel and — the point — the bias GRADIENT emitted as in-VMEM
@@ -925,76 +990,121 @@ def response_norm_cross_map_bias(
 
     x: the conv output WITHOUT bias; b: (C,) bias. With fuse_relu the
     in-kernel order is relu(x + b) — exactly the graph's conv+bias ->
-    relu -> LRN chain."""
+    relu -> LRN chain. mesh: see response_norm_cross_map — under a mesh
+    the kernels run per-shard via shard_map over "data"; each shard's
+    backward emits a partial db (its local batch rows), stacked along a
+    leading shard axis and summed outside the shard_map."""
     return _lrn_fwd_b(
-        x, b, add_scale, pow_scale, frac_of_filters, blocked, backend, fuse_relu
+        x, b, add_scale, pow_scale, frac_of_filters, blocked, backend, fuse_relu,
+        mesh,
     )
 
 
-def _lrn_fwd_b(x, b, add_scale, pow_scale, frac, blocked, backend, relu):
+def _lrn_pallas_fwd_b_local(x, b, n, blocked, alpha, beta, interp, relu):
+    c = x.shape[-1]
+    form = _pick_form(c, x.shape[0])
+    if form == "r2d":
+        xt = jnp.transpose(x, (1, 2, 3, 0))
+        yt = _pallas_r(
+            False, (xt,), n, blocked, alpha, beta, interp, relu=relu, bias=b
+        )
+        return jnp.transpose(yt, (3, 0, 1, 2)).astype(x.dtype)
+    b_, h_, w_, c_ = x.shape
+    x2 = jnp.transpose(x, (1, 2, 0, 3)).reshape(-1, c)
+    y2 = _pallas_fwd(
+        x2, n, blocked, alpha, beta, interpret=interp, relu=relu, bias=b
+    )
+    return jnp.transpose(y2.reshape(h_, w_, b_, c_), (2, 0, 1, 3)).astype(x.dtype)
+
+
+def _lrn_pallas_bwd_b_local(g, x, b, n, blocked, alpha, beta, interp, relu):
+    """(dx, db) on local arrays; db is this shard's partial sum."""
+    c = x.shape[-1]
+    form = _pick_form(c, x.shape[0])
+    if form == "r2d":
+        xt = jnp.transpose(x, (1, 2, 3, 0))
+        gt = jnp.transpose(g.astype(x.dtype), (1, 2, 3, 0))
+        dxt, db = _pallas_r(
+            True, (gt, xt), n, blocked, alpha, beta, interp, relu=relu, bias=b
+        )
+        return jnp.transpose(dxt, (3, 0, 1, 2)).astype(x.dtype), db
+    b_, h_, w_, c_ = x.shape
+    x2 = jnp.transpose(x, (1, 2, 0, 3)).reshape(-1, c)
+    g2 = jnp.transpose(g.astype(x.dtype), (1, 2, 0, 3)).reshape(-1, c)
+    dx2, db = _pallas_bwd(
+        g2, x2, n, blocked, alpha, beta, interpret=interp, relu=relu, bias=b
+    )
+    dx4 = jnp.transpose(dx2.reshape(h_, w_, b_, c_), (2, 0, 1, 3))
+    return dx4.astype(x.dtype), db
+
+
+def _lrn_fwd_b(x, b, add_scale, pow_scale, frac, blocked, backend, relu,
+               mesh=None):
     c = x.shape[-1]
     n = norm_window_size(c, frac)
     alpha = add_scale / n
     beta = float(pow_scale)
-    if _bias_fusable(x, blocked, backend):
+    if _bias_fusable(x, blocked, backend, mesh):
         interp = pallas_interpret()
-        form = _pick_form(c, x.shape[0])
-        if form == "r2d":
-            xt = jnp.transpose(x, (1, 2, 3, 0))
-            yt = _pallas_r(
-                False, (xt,), n, blocked, alpha, beta, interp, relu=relu, bias=b
+
+        def local(xl, bl):
+            return _lrn_pallas_fwd_b_local(
+                xl, bl, n, blocked, alpha, beta, interp, relu
             )
-            return jnp.transpose(yt, (3, 0, 1, 2)).astype(x.dtype)
-        b_, h_, w_, c_ = x.shape
-        x2 = jnp.transpose(x, (1, 2, 0, 3)).reshape(-1, c)
-        y2 = _pallas_fwd(
-            x2, n, blocked, alpha, beta, interpret=interp, relu=relu, bias=b
-        )
-        return jnp.transpose(y2.reshape(h_, w_, b_, c_), (2, 0, 1, 3)).astype(x.dtype)
+
+        if mesh is not None:
+            from jax.sharding import PartitionSpec as P
+
+            # bias replicated into every shard (tiny); batch rows split
+            return shmap(local, mesh, (P("data"), P()), P("data"))(x, b)
+        return local(x, b)
     # composed fallback: identical math, bias added by XLA
     return _lrn_fwd(
-        x + b.astype(x.dtype), add_scale, pow_scale, frac, blocked, backend, relu
+        x + b.astype(x.dtype), add_scale, pow_scale, frac, blocked, backend, relu,
+        mesh,
     )
 
 
-def _lrn_fwd_b_vjp(x, b, add_scale, pow_scale, frac, blocked, backend, fuse_relu):
-    y = _lrn_fwd_b(x, b, add_scale, pow_scale, frac, blocked, backend, fuse_relu)
+def _lrn_fwd_b_vjp(x, b, add_scale, pow_scale, frac, blocked, backend, fuse_relu,
+                   mesh=None):
+    y = _lrn_fwd_b(
+        x, b, add_scale, pow_scale, frac, blocked, backend, fuse_relu, mesh
+    )
     return y, (x, b)
 
 
-def _lrn_bwd_b_vjp(add_scale, pow_scale, frac, blocked, backend, fuse_relu, res, g):
+def _lrn_bwd_b_vjp(add_scale, pow_scale, frac, blocked, backend, fuse_relu, mesh,
+                   res, g):
     x, b = res
     c = x.shape[-1]
     n = norm_window_size(c, frac)
     alpha = add_scale / n
     beta = float(pow_scale)
-    if _bias_fusable(x, blocked, backend):
+    if _bias_fusable(x, blocked, backend, mesh):
         interp = pallas_interpret()
-        form = _pick_form(c, x.shape[0])
-        if form == "r2d":
-            xt = jnp.transpose(x, (1, 2, 3, 0))
-            gt = jnp.transpose(g.astype(x.dtype), (1, 2, 3, 0))
-            dxt, db = _pallas_r(
-                True, (gt, xt), n, blocked, alpha, beta, interp,
-                relu=fuse_relu, bias=b,
+
+        def local(gl, xl, bl):
+            dxl, dbl = _lrn_pallas_bwd_b_local(
+                gl, xl, bl, n, blocked, alpha, beta, interp, fuse_relu
             )
-            return (
-                jnp.transpose(dxt, (3, 0, 1, 2)).astype(x.dtype),
-                db.astype(b.dtype),
-            )
-        b_, h_, w_, c_ = x.shape
-        x2 = jnp.transpose(x, (1, 2, 0, 3)).reshape(-1, c)
-        g2 = jnp.transpose(g.astype(x.dtype), (1, 2, 0, 3)).reshape(-1, c)
-        dx2, db = _pallas_bwd(
-            g2, x2, n, blocked, alpha, beta, interpret=interp,
-            relu=fuse_relu, bias=b,
-        )
-        dx4 = jnp.transpose(dx2.reshape(h_, w_, b_, c_), (2, 0, 1, 3))
-        return dx4.astype(x.dtype), db.astype(b.dtype)
+            # leading shard axis: stacked by out_specs, summed below —
+            # avoids any in-body collective (no replication rule needed)
+            return dxl, dbl[None, :]
+
+        if mesh is not None:
+            from jax.sharding import PartitionSpec as P
+
+            dx, db_parts = shmap(
+                local, mesh, (P("data"), P("data"), P()),
+                (P("data"), P("data", None)),
+            )(g, x, b)
+            return dx, db_parts.sum(0).astype(b.dtype)
+        dx, db_part = local(g, x, b)
+        return dx, db_part.sum(0).astype(b.dtype)
     # composed fallback: dx via the unbiased backward on z = x + b;
     # db is the XLA reduction (what the fused path avoids)
     (dx,) = _lrn_bwd_vjp(
-        add_scale, pow_scale, frac, blocked, backend, fuse_relu,
+        add_scale, pow_scale, frac, blocked, backend, fuse_relu, mesh,
         x + b.astype(x.dtype), g,
     )
     db = jnp.sum(dx.astype(jnp.float32), axis=tuple(range(dx.ndim - 1)))

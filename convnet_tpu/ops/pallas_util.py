@@ -27,3 +27,33 @@ def pallas_interpret() -> bool:
     if os.environ.get("CONVNET_PALLAS_COMPILED", "0") == "1":
         return False
     return jax.default_backend() == "cpu"
+
+
+def mesh_dp(mesh) -> int:
+    """Size of the mesh's data axis (1 for no mesh)."""
+    return 1 if mesh is None else mesh.shape.get("data", 1)
+
+
+def shmap(fn, mesh, in_specs, out_specs):
+    """shard_map with replication checking off.
+
+    Every Pallas kernel in this package is batch-parallel (the LRN
+    window spans channels only; the jitter/s2d relayout is per-image),
+    so a non-trivial mesh runs them per-shard under shard_map over the
+    "data" axis — this is how the multi-chip path keeps the single-chip
+    kernels (the reference ran identical kernels on every GPU of its
+    model split, src/multigpu_convnet.cc [U]). Checking is off because
+    pallas_call carries no sharding/vma rule; callers stack or psum any
+    cross-shard reductions themselves (see the LRN bias gradient)."""
+    try:
+        return jax.shard_map(
+            fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=False,
+        )
+    except TypeError:  # older jax spells it check_rep
+        from jax.experimental.shard_map import shard_map as _shard_map
+
+        return _shard_map(
+            fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_rep=False,
+        )

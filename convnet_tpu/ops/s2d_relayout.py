@@ -395,3 +395,33 @@ def jitter_s2d(
     )
     xs = s2d_relayout(z, stride, p_grid, p_pad, interpret)
     return S2DInput(xs, stride)
+
+
+def jitter_s2d_sharded(
+    mesh,
+    x: jax.Array,
+    oy: jax.Array,
+    ox: jax.Array,
+    flips: Optional[jax.Array],
+    **kwargs,
+) -> S2DInput:
+    """jitter_s2d shard_mapped over the mesh's "data" axis.
+
+    The whole pipeline is per-image (crop one-hots, affine, relayout),
+    so each shard runs it on its local batch rows — sharded training
+    keeps the same fused prologue the single-chip headline path uses.
+    Requires per-shard batch % 128 == 0 (the relayout's lane-axis
+    chunk); trainer._preprocess gates on that."""
+    from jax.sharding import PartitionSpec as P
+
+    from convnet_tpu.ops.pallas_util import shmap
+
+    stride = kwargs["stride"]
+    args = [x, oy, ox] + ([] if flips is None else [flips])
+
+    def body(*local):
+        fl = local[3] if len(local) > 3 else None
+        return jitter_s2d(local[0], local[1], local[2], fl, **kwargs).x
+
+    xs = shmap(body, mesh, (P("data"),) * len(args), P("data"))(*args)
+    return S2DInput(xs, stride)

@@ -73,7 +73,7 @@ def _fused_prologue_wanted() -> bool:
 
 def _preprocess(
     graph: Graph, jitter: Optional[JitterMap], batch, rng, train: bool,
-    spmd: bool = False,
+    mesh=None,
 ):
     """Apply the fused on-device jitter prologue to image inputs.
 
@@ -94,10 +94,13 @@ def _preprocess(
             # replays the same augmentation stream
             jrng = jax.random.fold_in(rng, zlib.crc32(field.encode()) & 0x7FFFFFFF)
         x = out[field]
+        dp = mesh.shape.get("data", 1) if mesh is not None else 1
         if (
             x.ndim == 4
             and x.dtype == jnp.uint8
-            and x.shape[0] % 128 == 0
+            # per-shard batch rides the relayout's lane axis: every data
+            # shard needs its local rows % 128 == 0 (dp=1 single-device)
+            and x.shape[0] % (128 * dp) == 0
             and (np.ndim(mean) <= 1 and np.ndim(std) <= 1)
             and (
                 not train
@@ -107,14 +110,16 @@ def _preprocess(
         ):
             from convnet_tpu.ops.s2d_relayout import relayout_wanted
 
-            # the relayout pallas_call carries no partitioning rule, so
-            # the fused path only engages on a trivial resolved mesh
-            # (the single-chip headline config); sharded runs keep the
-            # XLA jitter chain, which GSPMD partitions fine
-            if relayout_wanted() and not spmd:
+            # under a mesh the fused prologue runs per-shard inside
+            # shard_map over "data" (jitter_s2d_sharded) — sharded runs
+            # keep the same Pallas relayout the single-chip path uses
+            if relayout_wanted():
                 from convnet_tpu.data.jitter import sample_crop_flip
                 from convnet_tpu.ops.prologue import prologue_plan
-                from convnet_tpu.ops.s2d_relayout import jitter_s2d
+                from convnet_tpu.ops.s2d_relayout import (
+                    jitter_s2d,
+                    jitter_s2d_sharded,
+                )
 
                 layer = next(
                     (l for l in graph.input_layers if l.data_field == field), None
@@ -135,8 +140,7 @@ def _preprocess(
                         s = spec.image_size
                         oy = jnp.full((b,), (h - s) // 2, jnp.int32)
                         ox = jnp.full((b,), (w - s) // 2, jnp.int32)
-                    out[field] = jitter_s2d(
-                        x, oy, ox, flips,
+                    kw = dict(
                         crop=spec.image_size,
                         kernel=edge.kernel_size,
                         stride=edge.stride,
@@ -145,6 +149,12 @@ def _preprocess(
                         std=std,
                         interpret=pallas_interpret(),
                     )
+                    if mesh is not None:
+                        out[field] = jitter_s2d_sharded(
+                            mesh, x, oy, ox, flips, **kw
+                        )
+                    else:
+                        out[field] = jitter_s2d(x, oy, ox, flips, **kw)
                     continue
         if (
             train
@@ -200,16 +210,14 @@ def make_train_step(
     numerics are identical because the per-step RNG folds in the step
     counter, not the launch."""
 
-    spmd = mesh is not None
-
     def step_fn(state: TrainState, batch):
         rng = jax.random.fold_in(state["rng"], state["step"])
         data_rng, drop_rng = jax.random.split(rng)
-        proc = _preprocess(graph, jitter, batch, data_rng, train=True, spmd=spmd)
+        proc = _preprocess(graph, jitter, batch, data_rng, train=True, mesh=mesh)
 
         def loss_of(params):
             return model_lib.loss_fn(
-                graph, params, proc, train=True, dropout_rng=drop_rng, spmd=spmd
+                graph, params, proc, train=True, dropout_rng=drop_rng, mesh=mesh
             )
 
         (_, metrics), grads = jax.value_and_grad(loss_of, has_aux=True)(
@@ -247,11 +255,9 @@ def make_train_step(
 def make_eval_step(graph: Graph, jitter: Optional[JitterMap] = None, mesh=None):
     """(params, batch) -> metrics; center-crop, no dropout."""
 
-    spmd = mesh is not None
-
     def eval_fn(params, batch):
-        proc = _preprocess(graph, jitter, batch, None, train=False, spmd=spmd)
-        _, metrics = model_lib.loss_fn(graph, params, proc, train=False, spmd=spmd)
+        proc = _preprocess(graph, jitter, batch, None, train=False, mesh=mesh)
+        _, metrics = model_lib.loss_fn(graph, params, proc, train=False, mesh=mesh)
         return metrics
 
     if mesh is not None:
@@ -268,12 +274,10 @@ def make_forward(
     With a mesh: batch sharded over the data axis, params per the model's
     sharding rules (multi-chip inference)."""
 
-    spmd = mesh is not None
-
     def fwd(params, batch):
-        proc = _preprocess(graph, jitter, batch, None, train=False, spmd=spmd)
+        proc = _preprocess(graph, jitter, batch, None, train=False, mesh=mesh)
         return model_lib.apply_fn(
-            graph, params, proc, train=False, return_layers=layers, spmd=spmd
+            graph, params, proc, train=False, return_layers=layers, mesh=mesh
         )
 
     if mesh is not None:

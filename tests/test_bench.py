@@ -10,6 +10,7 @@ import json
 import os
 import sys
 
+import numpy as np
 import pytest
 
 
@@ -70,3 +71,24 @@ def _run(bench_module, capsys, batch, steps):
     lines = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
     assert lines, "no JSON line printed"
     return json.loads(lines[-1])
+
+
+def test_roofline_derivation_matches_documented(bench_module):
+    """Pins the BASELINE.md "Roofline derivation" paragraph: FLOP count
+    of the shipped 224px AlexNet, the assumed bf16 peak, and the
+    resulting roofline img/s constant that vs_baseline divides by."""
+    import os
+
+    from convnet_tpu import config
+    from convnet_tpu.graph import build_graph
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    g = build_graph(
+        config.read_model(os.path.join(here, "examples/imagenet/alexnet.pbtxt"))
+    )
+    flops = bench_module.conv_flops_per_image(g)
+    assert flops == 2270512192  # 2.2705 GFLOP/image (documented)
+    roofline = 197.0e12 / (3 * flops)
+    np.testing.assert_allclose(roofline, 28921.5, atol=0.1)
+    # and the documented headline ratio reproduces from its own numbers
+    np.testing.assert_allclose(17451.7 / roofline, 0.6034, atol=5e-4)

@@ -295,31 +295,52 @@ def test_train_step_pool_fused_bias_matches(monkeypatch):
             )
 
 
-def test_bias_fusion_skipped_under_mesh(monkeypatch):
-    """The Pallas LRN kernels carry no GSPMD partitioning rule, so the
-    bias deferral must stand down under a non-trivial resolved mesh
-    even when CONVNET_LRN_BIAS_FUSED=1 forces it on (model.apply_fn
-    spmd gate; the LRN itself routes backend="xla" there)."""
+def test_bias_fused_kernels_engage_under_mesh(monkeypatch):
+    """Round-5 inversion of the round-4 spmd gate: the bias-fused Pallas
+    LRN now runs UNDER a mesh (shard_map over the data axis, partial db
+    stacked + summed) — a sharded train step with the kernels forced on
+    must (a) actually call the bias-fused op and (b) match the
+    single-device kernel step at float tolerance."""
     from convnet_tpu import model as model_lib
-    from convnet_tpu.parallel.mesh import make_mesh
+    from convnet_tpu.parallel.mesh import batch_sharding, make_mesh
     from convnet_tpu.trainer import init_state, make_train_step
 
     monkeypatch.setenv("CONVNET_LRN_BIAS_FUSED", "1")
+    monkeypatch.setenv("CONVNET_LRN_BACKEND", "pallas")
 
-    def boom(*a, **k):
-        raise AssertionError("bias-fused LRN must not engage under a mesh")
+    calls = []
+    real = model_lib.response_norm_cross_map_bias
 
-    monkeypatch.setattr(model_lib, "response_norm_cross_map_bias", boom)
+    def spy(*a, **k):
+        calls.append(k.get("mesh"))
+        return real(*a, **k)
+
+    monkeypatch.setattr(model_lib, "response_norm_cross_map_bias", spy)
     g = build_graph(config.parse_model(NET))
     rng = np.random.RandomState(7)
-    batch = {
-        "input": jnp.asarray(rng.rand(16, 12, 12, 3).astype(np.float32)),
-        "labels": jnp.asarray(rng.randint(0, 5, (16,)).astype(np.int32)),
-    }
-    mesh = make_mesh(2, 1, jax.devices()[:2])
-    step = make_train_step(g, None, mesh=mesh)
-    step.lower(init_state(g), batch)  # traces clean: deferral skipped
+    x = rng.rand(16, 12, 12, 3).astype(np.float32)
+    y = rng.randint(0, 5, (16,)).astype(np.int32)
 
-    # validity check: single-device tracing must hit the sentinel
-    with pytest.raises(AssertionError, match="must not engage"):
-        make_train_step(g, None).lower(init_state(g), batch)
+    step1 = make_train_step(g, None)
+    s1 = init_state(g)
+    s1, m1 = step1(s1, {"input": jnp.asarray(x), "labels": jnp.asarray(y)})
+
+    mesh = make_mesh(2, 1, jax.devices()[:2])
+    bs = batch_sharding(mesh)
+    stepN = make_train_step(g, None, mesh=mesh)
+    sN = init_state(g)
+    sN, mN = stepN(
+        sN, {"input": jax.device_put(x, bs), "labels": jax.device_put(y, bs)}
+    )
+
+    assert any(m is not None for m in calls), (
+        "bias-fused LRN op never saw the mesh — deferral gated off?"
+    )
+    np.testing.assert_allclose(float(m1["loss"]), float(mN["loss"]), rtol=1e-5)
+    for e, leaves in jax.device_get(s1["params"]).items():
+        for field in leaves:
+            np.testing.assert_allclose(
+                np.asarray(leaves[field], np.float32),
+                np.asarray(jax.device_get(sN["params"][e][field]), np.float32),
+                rtol=1e-5, atol=1e-6, err_msg=f"{e}/{field}",
+            )

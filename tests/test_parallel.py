@@ -274,6 +274,50 @@ def test_sharded_alexnet_matches_single_device():
     assert shard.shape == (3, 3, 256, 384 // 8)
 
 
+def test_sharded_alexnet_with_pallas_kernels_matches_single_device(monkeypatch):
+    """VERDICT r4 #1 done-criterion: the sharded-vs-single equality must
+    hold WITH the Pallas LRN + bias-fusion paths engaged (interpret mode
+    on the CPU mesh; shard_map over the data axis inside ops/lrn.py).
+    Covers both mesh families: pure DP 8x1 and mixed 4x2 (model-sharded
+    conv channels force the all-gather at the channel-global LRN
+    boundary)."""
+    monkeypatch.setenv("CONVNET_LRN_BACKEND", "pallas")
+    monkeypatch.setenv("CONVNET_LRN_BIAS_FUSED", "1")
+    g = _alexnet_f32()
+    rng = np.random.RandomState(3)
+    x = rng.rand(16, 67, 67, 3).astype(np.float32)
+    y = rng.randint(0, 1000, 16).astype(np.int32)
+    batch1 = {"input": jnp.asarray(x), "labels": jnp.asarray(y)}
+
+    step1 = make_train_step(g)
+    s1 = init_state(g)
+    s1, m1 = step1(s1, batch1)
+
+    for shape in ((8, 1), (4, 2)):
+        mesh = mesh_lib.make_mesh(*shape)
+        stepN = make_train_step(g, mesh=mesh)
+        sN = init_state(g)
+        bs = mesh_lib.batch_sharding(mesh)
+        batchN = {"input": jax.device_put(x, bs), "labels": jax.device_put(y, bs)}
+        sN, mN = stepN(sN, batchN)
+        np.testing.assert_allclose(
+            float(m1["loss"]), float(mN["loss"]), rtol=1e-5, err_msg=str(shape)
+        )
+        for e, leaves in jax.device_get(s1["params"]).items():
+            np.testing.assert_allclose(
+                np.asarray(leaves["w"]),
+                np.asarray(jax.device_get(sN["params"][e]["w"])),
+                rtol=1e-4, atol=1e-5, err_msg=f"{shape} {e}",
+            )
+            # the deferred conv biases differentiate through the Pallas
+            # backward's in-VMEM partial sums under the mesh — check them
+            np.testing.assert_allclose(
+                np.asarray(leaves["b"]),
+                np.asarray(jax.device_get(sN["params"][e]["b"])),
+                rtol=1e-4, atol=1e-5, err_msg=f"{shape} {e} bias",
+            )
+
+
 def test_pure_mp_conv_flops_are_sharded():
     """The compiled 1x8 HLO must contain a convolution computing only a
     1/8 channel slice — guards against XLA all-gathering the sharded conv

@@ -56,6 +56,7 @@ mean = np.asarray([0.45, 0.45, 0.45], np.float32)
 
 
 def phased(dot):
+    prev = os.environ.get("CONVNET_CROP_DOT")
     os.environ["CONVNET_CROP_DOT"] = dot
     try:
         f = jax.jit(
@@ -65,7 +66,10 @@ def phased(dot):
         )
         return np.asarray(f(xg, oy, ox, flips), np.float32)
     finally:
-        del os.environ["CONVNET_CROP_DOT"]
+        if prev is None:
+            del os.environ["CONVNET_CROP_DOT"]
+        else:
+            os.environ["CONVNET_CROP_DOT"] = prev
 
 
 zb = phased("bf16")
@@ -89,6 +93,7 @@ oys, oxs, flipss = sample_crop_flip(
 
 
 def seg_time(dot, n=20):
+    prev = os.environ.get("CONVNET_CROP_DOT")
     os.environ["CONVNET_CROP_DOT"] = dot
     jax.clear_caches()
     try:
@@ -110,7 +115,10 @@ def seg_time(dot, n=20):
               flush=True)
         return None
     finally:
-        del os.environ["CONVNET_CROP_DOT"]
+        if prev is None:
+            del os.environ["CONVNET_CROP_DOT"]
+        else:
+            os.environ["CONVNET_CROP_DOT"] = prev
 
 
 seg = {dot: seg_time(dot) for dot in ("bf16", "bf16d", "s8")}
@@ -130,6 +138,7 @@ jitter = {
 
 
 def measure(tag, B=4096, n=16, **env):
+    prev_env = {k: os.environ.get(k) for k in env}
     for k, v in env.items():
         os.environ[k] = v
     jax.clear_caches()
@@ -163,7 +172,10 @@ def measure(tag, B=4096, n=16, **env):
         return None
     finally:
         for k in env:
-            del os.environ[k]
+            if prev_env.get(k) is None:
+                del os.environ[k]
+            else:
+                os.environ[k] = prev_env[k]
 
 
 base = measure("B=4096 crop_dot=bf16 (shipped default)")
@@ -177,6 +189,7 @@ if bd_wins:
 
 # ---- 4. trace the winner ---------------------------------------------
 win_env = {"CONVNET_CROP_DOT": "bf16d"} if bd_wins else {}
+trace_dir = f"/tmp/trace_r4_{'bf16d' if bd_wins else 'bf16'}"
 for k, v in win_env.items():
     os.environ[k] = v
 jax.clear_caches()
@@ -193,12 +206,12 @@ data = {
 for _ in range(2):
     state, m = step(state, data)
 float(np.asarray(m["loss"]).reshape(-1)[-1])
-with jax.profiler.trace("/tmp/trace_r4_bf16d"):
+with jax.profiler.trace(trace_dir):
     t0 = time.perf_counter()
     for _ in range(10):
         state, m = step(state, data)
     float(np.asarray(m["loss"]).reshape(-1)[-1])
     dt = (time.perf_counter() - t0) / 10
-print(f"traced winner step: {dt*1e3:.2f} ms -> /tmp/trace_r4_bf16d", flush=True)
+print(f"traced winner step ({'bf16d' if bd_wins else 'bf16'}): {dt*1e3:.2f} ms -> {trace_dir}", flush=True)
 
 print("R4 CHIP BATCH 10 COMPLETE", flush=True)

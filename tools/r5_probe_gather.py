@@ -30,7 +30,6 @@ primitives determine the round-5 kernel design:
 
 Chipless: safe to run any time; no chip claim is taken.
 """
-import functools
 import os
 import sys
 import time
