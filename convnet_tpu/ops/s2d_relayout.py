@@ -388,11 +388,29 @@ def jitter_s2d(
     lane axis); callers gate on that.
     """
     p_grid, p_pad = relayout_geometry(crop, kernel, stride)
-    z = jitter_crop_phased(
-        x, oy, ox, flips,
-        crop=crop, stride=stride, p_pad=p_pad,
-        scale=scale, mean=mean, std=std,
+    from convnet_tpu.ops.jitter_gather import (
+        gather_crop_phased,
+        gather_supported,
+        gather_wanted,
     )
+
+    if gather_wanted() and gather_supported(
+        x.shape[0], x.shape[1], x.shape[2], x.shape[3], crop, stride, p_pad,
+        mean, std,
+    ):
+        # round-5 gather kernel: same phase-major output, no dense
+        # one-hot dots (the einsum stage is rate-bound, BASELINE.md)
+        z = gather_crop_phased(
+            x, oy, ox, flips,
+            crop=crop, stride=stride, p_pad=p_pad,
+            scale=scale, mean=mean, std=std, interpret=interpret,
+        )
+    else:
+        z = jitter_crop_phased(
+            x, oy, ox, flips,
+            crop=crop, stride=stride, p_pad=p_pad,
+            scale=scale, mean=mean, std=std,
+        )
     xs = s2d_relayout(z, stride, p_grid, p_pad, interpret)
     return S2DInput(xs, stride)
 

@@ -118,3 +118,28 @@ def test_s2d_relayout_lowering(kform, monkeypatch):
         return jnp.sum(s2d.x.astype(jnp.float32))
 
     _lower_tpu(f, raw, oy, ox, flips)
+
+
+def test_jitter_gather_lowering(monkeypatch):
+    """Round-5 gather kernel at the full AlexNet input geometry
+    (256 raw / 224 crop / stride 4 / Pp 64): the oy/ox pl.when
+    switches, deinterleave transposes, flip dots, and partial-lane
+    assembly must all pass Mosaic's Python-side lowering."""
+    from convnet_tpu.ops.jitter_gather import gather_crop_phased
+
+    B = 8
+
+    def f(x, oy, ox, fl):
+        return gather_crop_phased(
+            x, oy, ox, fl, crop=224, stride=4, p_pad=64, scale=1 / 255,
+            mean=np.asarray([0.45, 0.45, 0.45], np.float32),
+            std=np.asarray([0.2, 0.25, 0.3], np.float32),
+        )
+
+    _lower_tpu(
+        f,
+        jax.ShapeDtypeStruct((B, 256, 256, 3), jnp.uint8),
+        jax.ShapeDtypeStruct((B,), jnp.int32),
+        jax.ShapeDtypeStruct((B,), jnp.int32),
+        jax.ShapeDtypeStruct((B,), jnp.int32),
+    )
