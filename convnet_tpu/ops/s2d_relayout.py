@@ -88,6 +88,7 @@ def jitter_crop_phased(
     scale: float = 1.0,
     mean: Optional[np.ndarray] = None,
     std: Optional[np.ndarray] = None,
+    cmajor: bool = False,
 ) -> jax.Array:
     """One-hot crop+flip+normalize into the phase-major padded layout.
 
@@ -96,6 +97,13 @@ def jitter_crop_phased(
     (s*p + rp, s*q + cp); positions past the crop are exactly 0.
     Operand order keeps both dots in natural dimension order (no HLO
     transposes); the affine + mask fuse into the second dot's epilogue.
+
+    cmajor=True returns (C, B, s*Pp, s*Pp) instead — same values with
+    the channel axis LEADING, so the relayout kernel's per-channel
+    operands are leading-dim slices (bitcasts). The (B, C, ...) order
+    makes them dim-1 slices that XLA materializes as a full-tensor
+    pass (slice_bitcast_fusion, 4.90 ms at B=4096 in the round-5
+    trace).
     """
     b, h, w, c = x.shape
     s, pp = stride, p_pad
@@ -129,7 +137,8 @@ def jitter_crop_phased(
         ).astype(jnp.int8)  # single shifted pixels in [-128,127]: exact
         # (b,w,c,i) x (b,j,w) -> (b,c,i,j): natural order again
         z32 = jnp.einsum(
-            "bwci,bjw->bcij", y, oh_cols.astype(jnp.int8),
+            "bwci,bjw->cbij" if cmajor else "bwci,bjw->bcij",
+            y, oh_cols.astype(jnp.int8),
             preferred_element_type=jnp.int32,
         )
         v2 = (vj[:, None] & vj[None, :])[None, None, :, :]
@@ -144,21 +153,28 @@ def jitter_crop_phased(
         # (b,h,w,c) x (b,i,h) -> (b,w,c,i): natural (batch, lhs_free, rhs_free)
         y = jnp.einsum("bhwc,bih->bwci", xb, oh_rows.astype(jnp.bfloat16))
         # (b,w,c,i) x (b,j,w) -> (b,c,i,j): natural order again
-        z = jnp.einsum("bwci,bjw->bcij", y, oh_cols.astype(jnp.bfloat16))
+        z = jnp.einsum(
+            "bwci,bjw->cbij" if cmajor else "bwci,bjw->bcij",
+            y, oh_cols.astype(jnp.bfloat16),
+        )
         zf = z.astype(jnp.float32)
     else:
         xb = jnp.transpose(x, (0, 3, 1, 2)).astype(jnp.bfloat16)  # (B,C,H,W)
         # (b,c,h,w) x (b,i,h) -> (b,c,w,i): natural (batch, lhs_free, rhs_free)
         y = jnp.einsum("bchw,bih->bcwi", xb, oh_rows.astype(jnp.bfloat16))
         # (b,c,w,i) x (b,j,w) -> (b,c,i,j): natural order again
-        z = jnp.einsum("bcwi,bjw->bcij", y, oh_cols.astype(jnp.bfloat16))
+        z = jnp.einsum(
+            "bcwi,bjw->cbij" if cmajor else "bcwi,bjw->bcij",
+            y, oh_cols.astype(jnp.bfloat16),
+        )
         zf = z.astype(jnp.float32)
+    cshape = (-1, 1, 1, 1) if cmajor else (1, -1, 1, 1)
     if scale != 1.0:
         zf = zf * scale
     if mean is not None:
-        zf = zf - jnp.asarray(mean, jnp.float32).reshape(1, -1, 1, 1)
+        zf = zf - jnp.asarray(mean, jnp.float32).reshape(cshape)
     if std is not None:
-        zf = zf / jnp.asarray(std, jnp.float32).reshape(1, -1, 1, 1)
+        zf = zf / jnp.asarray(std, jnp.float32).reshape(cshape)
     if mean is not None or std is not None:
         # keep the folded ceil-mode pad exactly zero through the affine
         zf = jnp.where((vj[:, None] & vj[None, :])[None, None, :, :], zf, 0.0)
@@ -245,13 +261,18 @@ def _pick_bn(b: int) -> int:
     return 128
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
-def s2d_relayout(z, stride, p_out, p_pad, interpret=False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5))
+def s2d_relayout(z, stride, p_out, p_pad, interpret=False, cmajor=False):
     """(B, C, s*Pp, s*Pp) phase-major bf16 -> (B, P, P, s*s*C) s2d view
     whose PHYSICAL layout is row-major (K, P, P, B) — the kernel's 3D
     merged output viewed logically as NHWC. K order (row-phase,
-    col-phase, cin) matches `ops.conv._s2d_regroup_weight`."""
-    return _relayout_fwd_impl(z, stride, p_out, p_pad, interpret)
+    col-phase, cin) matches `ops.conv._s2d_regroup_weight`.
+
+    cmajor=True: z arrives channel-major (C, B, s*Pp, s*Pp) — the
+    per-channel kernel operands become LEADING-dim slices (true
+    bitcasts); the (B, C, ...) order costs a full-tensor
+    slice_bitcast pass (round-5 trace, 4.90 ms at B=4096)."""
+    return _relayout_fwd_impl(z, stride, p_out, p_pad, interpret, cmajor)
 
 
 def block_plan(b: int, cin: int, s: int, pp: int, p_out: int):
@@ -276,13 +297,18 @@ def block_plan(b: int, cin: int, s: int, pp: int, p_out: int):
     return in_block, out_block, grid
 
 
-def _relayout_fwd_impl(z, stride, p_out, p_pad, interpret):
-    b, cin, n, _ = z.shape
+def _relayout_fwd_impl(z, stride, p_out, p_pad, interpret, cmajor=False):
+    if cmajor:
+        cin, b, n, _ = z.shape
+        xcs = [z[ci] for ci in range(cin)]  # leading-dim slices: bitcasts
+    else:
+        b, cin, n, _ = z.shape
+        # dim-1 slices: XLA materializes these as a full-tensor pass
+        xcs = [z[:, ci] for ci in range(cin)]
     s, pp = stride, p_pad
     assert n == s * pp, (z.shape, stride, p_pad)
     bn = _pick_bn(b)
     bpr = pp // 16  # 16-row blocks per phase plane (pp % 16 == 0)
-    xcs = [z[:, ci] for ci in range(cin)]  # leading-dim slices: bitcasts
     kernel = functools.partial(
         _relayout_kernel, cin=cin, s=s, pp=pp, p_out=p_out, kform=_kform()
     )
@@ -330,11 +356,11 @@ def _relayout_fwd_impl(z, stride, p_out, p_pad, interpret):
     return jnp.transpose(out4, (3, 1, 2, 0))
 
 
-def _relayout_fwd(z, stride, p_out, p_pad, interpret):
-    return _relayout_fwd_impl(z, stride, p_out, p_pad, interpret), None
+def _relayout_fwd(z, stride, p_out, p_pad, interpret, cmajor=False):
+    return _relayout_fwd_impl(z, stride, p_out, p_pad, interpret, cmajor), None
 
 
-def _relayout_bwd(stride, p_out, p_pad, interpret, _, g):
+def _relayout_bwd(stride, p_out, p_pad, interpret, cmajor, _, g):
     # inverse arrangement in plain XLA ops — dead-code-eliminated when
     # the s2d conv is the first edge (its input is data, cf. _s2d_core)
     b = g.shape[0]
@@ -345,7 +371,10 @@ def _relayout_bwd(stride, p_out, p_pad, interpret, _, g):
     d = jnp.pad(
         d, ((0, 0), (0, 0), (0, 0), (0, pp - p_out), (0, 0), (0, pp - p_out))
     )
-    return (d.reshape(b, cin, s * pp, s * pp).astype(g.dtype),)
+    d = d.reshape(b, cin, s * pp, s * pp).astype(g.dtype)
+    if cmajor:
+        d = jnp.transpose(d, (1, 0, 2, 3))
+    return (d,)
 
 
 s2d_relayout.defvjp(_relayout_fwd, _relayout_bwd)
@@ -364,6 +393,17 @@ def relayout_wanted() -> bool:
     if mode in ("0", "1"):
         return mode == "1"
     return jax.default_backend() not in ("cpu", "gpu")
+
+
+def cmajor_wanted() -> bool:
+    """Feed the relayout kernel channel-major einsum output (true
+    leading-dim bitcast operands) instead of (B, C, ...) whose channel
+    split costs a full-tensor pass. CONVNET_S2D_CMAJOR=0|1 forces;
+    auto is OFF pending the chip A/B (tools/r5_chip3.py)."""
+    mode = os.environ.get("CONVNET_S2D_CMAJOR", "auto")
+    if mode in ("0", "1"):
+        return mode == "1"
+    return False
 
 
 def jitter_s2d(
@@ -398,20 +438,23 @@ def jitter_s2d(
         x.shape[0], x.shape[1], x.shape[2], x.shape[3], crop, stride, p_pad,
         mean, std,
     ):
-        # round-5 gather kernel: same phase-major output, no dense
-        # one-hot dots (the einsum stage is rate-bound, BASELINE.md)
+        # round-5 gather kernel — measured NEGATIVE on chip (segment
+        # 38.1 vs 24.2 ms at B=4096, tools/r5_chip2.py: the per-image
+        # formulation is VMEM-pass-bound); kept as the documented knob
         z = gather_crop_phased(
             x, oy, ox, flips,
             crop=crop, stride=stride, p_pad=p_pad,
             scale=scale, mean=mean, std=std, interpret=interpret,
         )
-    else:
-        z = jitter_crop_phased(
-            x, oy, ox, flips,
-            crop=crop, stride=stride, p_pad=p_pad,
-            scale=scale, mean=mean, std=std,
-        )
-    xs = s2d_relayout(z, stride, p_grid, p_pad, interpret)
+        xs = s2d_relayout(z, stride, p_grid, p_pad, interpret)
+        return S2DInput(xs, stride)
+    cm = cmajor_wanted()
+    z = jitter_crop_phased(
+        x, oy, ox, flips,
+        crop=crop, stride=stride, p_pad=p_pad,
+        scale=scale, mean=mean, std=std, cmajor=cm,
+    )
+    xs = s2d_relayout(z, stride, p_grid, p_pad, interpret, cm)
     return S2DInput(xs, stride)
 
 

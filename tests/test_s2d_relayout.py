@@ -394,3 +394,27 @@ def test_relayout_engages_under_mesh(monkeypatch):
         init_state(g),
         {k: jax.device_put(np.asarray(v), bs) for k, v in small.items()},
     )
+
+
+def test_cmajor_einsum_and_relayout_equal(monkeypatch):
+    """cmajor=1 (channel-major einsum output feeding leading-dim-sliced
+    relayout operands) must be value-identical to the shipped path."""
+    from convnet_tpu.ops.s2d_relayout import jitter_s2d
+
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randint(0, 256, (128, RAW, RAW, 3), np.uint8))
+    n = RAW - CROP
+    oy = jnp.asarray(rng.randint(0, n + 1, 128), jnp.int32)
+    ox = jnp.asarray(rng.randint(0, n + 1, 128), jnp.int32)
+    flips = jnp.asarray(rng.randint(0, 2, 128), jnp.int32)
+    kw = dict(crop=CROP, kernel=KERNEL, stride=STRIDE, scale=1 / 255,
+              mean=np.asarray([0.4, 0.5, 0.6], np.float32),
+              std=np.asarray([0.2, 0.25, 0.3], np.float32), interpret=True)
+    monkeypatch.setenv("CONVNET_S2D_RELAYOUT", "1")
+    monkeypatch.setenv("CONVNET_S2D_CMAJOR", "0")
+    want = jitter_s2d(x, oy, ox, flips, **kw)
+    monkeypatch.setenv("CONVNET_S2D_CMAJOR", "1")
+    got = jitter_s2d(x, oy, ox, flips, **kw)
+    np.testing.assert_array_equal(
+        np.asarray(got.x, np.float32), np.asarray(want.x, np.float32)
+    )
