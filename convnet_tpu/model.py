@@ -177,7 +177,7 @@ def _edge_fprop(
         z = local_conv2d(x, p["w"], e.stride, e.padding, e.kernel_size, compute_dtype=cdt)
         return z + p["b"].astype(z.dtype)
     if t == ET.MAXPOOL:
-        return maxpool2d(x, e.kernel_size, e.stride, e.padding)
+        return maxpool2d(x, e.kernel_size, e.stride, e.padding, mesh=mesh)
     if t == ET.RESPONSE_NORM:
         # the Pallas LRN kernels run under any RESOLVED mesh: ops/lrn.py
         # shard_maps them over the "data" axis (the op is batch-parallel),

@@ -1,22 +1,39 @@
 """Max pooling (reference: MaxPoolEdge over cuda-convnet MaxPool /
 MaxPoolUndo kernels, src/maxpool_edge.* [U]).
 
-`lax.reduce_window` with a -inf identity; XLA's select-and-scatter
-transpose is the argmax-routed gradient the reference implements as
-MaxPoolUndo.
+Forward: a layout-native Pallas kernel on TPU — the round-5 trace shows
+XLA's reduce-window running at ~151 GB/s (8.9 ms of the 233 ms AlexNet
+step for ~1.3 GB of traffic), ~3x off the measured Pallas DMA floor.
+The kernel reads k overlapping image-row blocks per output row (shifted
+block index maps), does the w-window as an s-phase reshape + static
+shifted slices (no strided slicing — Mosaic has none), and maxes on
+the VPU in the input dtype. Both activation layouts get a zero-copy
+view: batch-minor {0,3,2,1} -> (H, W, C*B), C-minor {3,0,2,1} ->
+(H, W, B*C); the trailing dim is lane-sliced by the grid.
+
+Backward stays XLA's select-and-scatter (the argmax-routed gradient
+the reference implements as MaxPoolUndo): round-4 arithmetic showed a
+standalone Pallas pool-bwd cannot beat it (its reads fuse into
+neighboring producers). The custom VJP's residual is x only; the
+backward re-derives window maxima from x (no y residual).
 """
 
 from __future__ import annotations
 
+import functools
+import os
+
 import jax
 import jax.numpy as jnp
 from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from convnet_tpu.ops.conv import ceil_mode_padding
+from convnet_tpu.ops.pallas_util import mesh_dp, pallas_interpret, shmap
 
 
-def maxpool2d(x: jax.Array, kernel: int, stride: int, padding: int = 0) -> jax.Array:
-    """x: (B, H, W, C) NHWC; ceil-mode output size (cuda-convnet)."""
+def _xla_maxpool(x: jax.Array, kernel: int, stride: int, padding: int):
     pad_h = ceil_mode_padding(x.shape[1], kernel, stride, padding)
     pad_w = ceil_mode_padding(x.shape[2], kernel, stride, padding)
     return lax.reduce_window(
@@ -27,6 +44,148 @@ def maxpool2d(x: jax.Array, kernel: int, stride: int, padding: int = 0) -> jax.A
         window_strides=(1, stride, stride, 1),
         padding=((0, 0), pad_h, pad_w, (0, 0)),
     )
+
+
+def _pool_pallas_wanted() -> bool:
+    """CONVNET_POOL_BACKEND: "auto" | "pallas" | "xla". auto is OFF
+    pending the chip A/B (tools/r5_chip4.py) — flip here once measured;
+    cpu/gpu always keep XLA (interpret mode would be pure overhead —
+    the dedicated tests opt in)."""
+    mode = os.environ.get("CONVNET_POOL_BACKEND", "auto")
+    if mode == "pallas":
+        return True
+    return False
+
+
+def _pool_form(x, kernel: int, stride: int, padding: int, mesh=None):
+    """Kernel-eligible? Returns "bminor" | "cminor" | None. Needs
+    pad-free exact window cover (all AlexNet pools) and a 128-divisible
+    trailing lane dim; under a mesh the per-shard batch decides."""
+    b, h, w, c = x.shape
+    dp = mesh_dp(mesh)
+    if b % dp:
+        return None
+    b = b // dp
+    if padding != 0 or kernel > 2 * stride or kernel < stride:
+        return None
+    if (h - kernel) % stride or (w - kernel) % stride:
+        return None
+    if x.dtype not in (jnp.bfloat16, jnp.float32):
+        return None
+    if (c * b) % 128:
+        return None
+    return "cminor" if c % 128 == 0 else "bminor"
+
+
+def _maxpool_kernel(*refs, k, w, wp, s, ow):
+    in_refs, o_ref, scr = refs[:k], refs[k], refs[k + 1]
+    m = in_refs[0][0]
+    for r in in_refs[1:]:
+        m = jnp.maximum(m, r[0])
+    scr[...] = jnp.full_like(scr, -jnp.inf)
+    scr[0:w, :] = m
+    u = scr[...].reshape(wp // s, s, scr.shape[-1])
+    acc = None
+    for j in range(k):
+        t = u[j // s : j // s + ow, j % s, :]
+        acc = t if acc is None else jnp.maximum(acc, t)
+    o_ref[0] = acc
+
+
+def _pick_xsl(l: int, w: int, wp: int, ow: int, k: int, itemsize: int) -> int:
+    """Largest 128-multiple divisor of L whose per-step VMEM (k in-blocks
+    + scratch + out, double-buffered in/out) stays near ~6 MB."""
+    budget = 6 << 20
+    per = itemsize * (2 * k * w + wp + 2 * ow)  # bytes per lane
+    cap = max(128, budget // per // 128 * 128)
+    best = 128
+    d = 128
+    while d <= min(cap, l):
+        if l % d == 0:
+            best = d
+        d += 128
+    return best
+
+
+def _pallas_maxpool_local(x, kernel, stride, form, interpret):
+    b, h, w, c = x.shape
+    s, k = stride, kernel
+    oh, ow = (h - k) // s + 1, (w - k) // s + 1
+    if form == "cminor":
+        xt = jnp.transpose(x, (1, 2, 0, 3)).reshape(h, w, b * c)
+    else:
+        xt = jnp.transpose(x, (1, 2, 3, 0)).reshape(h, w, c * b)
+    l = xt.shape[-1]
+    # enough w-phase groups for the last tap's shift
+    wp = max(-(-w // s), (k - 1) // s + ow) * s
+    xsl = _pick_xsl(l, w, wp, ow, k, x.dtype.itemsize)
+    kern = functools.partial(_maxpool_kernel, k=k, w=w, wp=wp, s=s, ow=ow)
+    out = pl.pallas_call(
+        kern,
+        grid=(oh, l // xsl),
+        in_specs=[
+            # k overlapping row views of the SAME array: per output row
+            # the h-window's taps arrive as k shifted blocks
+            pl.BlockSpec((1, w, xsl), lambda oh_, j, i=i: (s * oh_ + i, 0, j))
+            for i in range(k)
+        ],
+        out_specs=pl.BlockSpec((1, ow, xsl), lambda oh_, j: (oh_, 0, j)),
+        out_shape=jax.ShapeDtypeStruct((oh, ow, l), x.dtype),
+        scratch_shapes=[pltpu.VMEM((wp, xsl), x.dtype)],
+        cost_estimate=pl.CostEstimate(
+            flops=(k * k) * oh * ow * l,
+            bytes_accessed=(h * w + oh * ow) * l * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+        compiler_params=None
+        if interpret
+        else pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")
+        ),
+        interpret=interpret,
+    )(*([xt] * k))
+    if form == "cminor":
+        return jnp.transpose(out.reshape(oh, ow, b, c), (2, 0, 1, 3))
+    return jnp.transpose(out.reshape(oh, ow, c, b), (3, 0, 1, 2))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5))
+def _maxpool_pallas(x, kernel, stride, padding, form, mesh=None):
+    interp = pallas_interpret()
+
+    def local(xl):
+        return _pallas_maxpool_local(xl, kernel, stride, form, interp)
+
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+
+        return shmap(local, mesh, (P("data"),), P("data"))(x)
+    return local(x)
+
+
+def _maxpool_pallas_fwd(x, kernel, stride, padding, form, mesh=None):
+    return _maxpool_pallas(x, kernel, stride, padding, form, mesh), x
+
+
+def _maxpool_pallas_bwd(kernel, stride, padding, form, mesh, x, g):
+    # XLA's select-and-scatter transpose, derived from x alone (the
+    # primal reduce-window below is dead code and DCE'd)
+    _, vjp = jax.vjp(lambda xx: _xla_maxpool(xx, kernel, stride, padding), x)
+    return vjp(g)
+
+
+_maxpool_pallas.defvjp(_maxpool_pallas_fwd, _maxpool_pallas_bwd)
+
+
+def maxpool2d(
+    x: jax.Array, kernel: int, stride: int, padding: int = 0, mesh=None
+) -> jax.Array:
+    """x: (B, H, W, C) NHWC; ceil-mode output size (cuda-convnet)."""
+    if _pool_pallas_wanted():
+        form = _pool_form(x, kernel, stride, padding, mesh)
+        if form is not None:
+            return _maxpool_pallas(x, kernel, stride, padding, form, mesh)
+    return _xla_maxpool(x, kernel, stride, padding)
 
 
 def avgpool2d(x: jax.Array, kernel: int, stride: int, padding: int = 0) -> jax.Array:

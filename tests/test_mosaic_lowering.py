@@ -143,3 +143,20 @@ def test_jitter_gather_lowering(monkeypatch):
         jax.ShapeDtypeStruct((B,), jnp.int32),
         jax.ShapeDtypeStruct((B,), jnp.int32),
     )
+
+
+@pytest.mark.parametrize(
+    "shape,k,s",
+    [
+        ((128, 55, 55, 96), 3, 2),   # pool1 (bminor)
+        ((128, 27, 27, 256), 3, 2),  # pool2 (cminor)
+        ((128, 13, 13, 256), 3, 2),  # pool5 (cminor)
+    ],
+)
+def test_pallas_maxpool_lowering(shape, k, s):
+    from convnet_tpu.ops.pool import _maxpool_pallas, _pool_form
+
+    x = jax.ShapeDtypeStruct(shape, jnp.bfloat16)
+    form = _pool_form(x, k, s, 0)
+    assert form is not None
+    _lower_tpu(lambda a: _maxpool_pallas(a, k, s, 0, form), x)
