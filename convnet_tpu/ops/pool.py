@@ -1,15 +1,18 @@
 """Max pooling (reference: MaxPoolEdge over cuda-convnet MaxPool /
 MaxPoolUndo kernels, src/maxpool_edge.* [U]).
 
-Forward: a layout-native Pallas kernel on TPU — the round-5 trace shows
-XLA's reduce-window running at ~151 GB/s (8.9 ms of the 233 ms AlexNet
-step for ~1.3 GB of traffic), ~3x off the measured Pallas DMA floor.
-The kernel reads k overlapping image-row blocks per output row (shifted
-block index maps), does the w-window as an s-phase reshape + static
-shifted slices (no strided slicing — Mosaic has none), and maxes on
-the VPU in the input dtype. Both activation layouts get a zero-copy
-view: batch-minor {0,3,2,1} -> (H, W, C*B), C-minor {3,0,2,1} ->
-(H, W, B*C); the trailing dim is lane-sliced by the grid.
+Forward: XLA's `lax.reduce_window` (the shipped default). A Pallas
+forward kernel exists behind CONVNET_POOL_BACKEND=pallas but its chip
+A/B (tools/r5_chip4.py, 2026-08-19) was a decisive NEGATIVE: standalone
+pool1 29.0 vs 4.9 ms, pool2 19.8 vs 4.7, pool5 4.4 vs 1.7, full step
++42.9 ms at B=4096. The ~151 GB/s the trace shows for reduce-window is
+not recoverable headroom: the (H, W, lanes) views the kernel needs are
+REAL relayouts of the activations XLA keeps in conv-friendly layouts
+(not free bitcasts), and the k overlapping row-block reads re-DMA the
+input k times — both costs the fused XLA chain never pays. The kernel
+(k shifted block index maps per output row, w-window as an s-phase
+reshape + static shifted slices, VPU max) stays hardware-validated as
+the documented negative result.
 
 Backward stays XLA's select-and-scatter (the argmax-routed gradient
 the reference implements as MaxPoolUndo): round-4 arithmetic showed a
@@ -47,10 +50,10 @@ def _xla_maxpool(x: jax.Array, kernel: int, stride: int, padding: int):
 
 
 def _pool_pallas_wanted() -> bool:
-    """CONVNET_POOL_BACKEND: "auto" | "pallas" | "xla". auto is OFF
-    pending the chip A/B (tools/r5_chip4.py) — flip here once measured;
-    cpu/gpu always keep XLA (interpret mode would be pure overhead —
-    the dedicated tests opt in)."""
+    """CONVNET_POOL_BACKEND: "auto" | "pallas" | "xla". auto is XLA —
+    the chip A/B (tools/r5_chip4.py) measured the Pallas form losing
+    3-4x standalone and +42.9 ms full-step at B=4096 (see module
+    docstring); "pallas" opts in for re-measurement."""
     mode = os.environ.get("CONVNET_POOL_BACKEND", "auto")
     if mode == "pallas":
         return True

@@ -399,11 +399,14 @@ def cmajor_wanted() -> bool:
     """Feed the relayout kernel channel-major einsum output (true
     leading-dim bitcast operands) instead of (B, C, ...) whose channel
     split costs a full-tensor pass. CONVNET_S2D_CMAJOR=0|1 forces;
-    auto is OFF pending the chip A/B (tools/r5_chip3.py)."""
+    auto is ON — the chip A/B (tools/r5_chip3.py, B=4096) measured
+    -0.59 ms/step for cmajor (235.22 vs 235.82), numerics array-equal;
+    the segment alone is neutral (the einsum epilogue shifts), the win
+    is the downstream bitcast split."""
     mode = os.environ.get("CONVNET_S2D_CMAJOR", "auto")
     if mode in ("0", "1"):
         return mode == "1"
-    return False
+    return True
 
 
 def jitter_s2d(
