@@ -18,7 +18,8 @@ test-tpu:  # hardware-eligible subset on the real chip (compiled Pallas)
 	    tests/test_ops.py tests/test_dropout.py tests/test_torch_parity.py \
 	    tests/test_prologue.py tests/test_fused_pool_lrn.py \
 	    tests/test_s2d_relayout.py tests/test_lrn_bias.py \
-	    tests/test_jitter_gather.py tests/test_tpu_numerics.py -x -q
+	    tests/test_jitter_gather.py tests/test_pool_pallas.py \
+	    tests/test_tpu_numerics.py -x -q
 
 bench:  # headline AlexNet img/s on the local accelerator
 	python bench.py
