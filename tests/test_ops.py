@@ -529,7 +529,11 @@ def test_lrn_all_kernel_forms_match_reference(form, monkeypatch):
         lambda a: (response_norm_reference(a, 0.001, 0.75, 5.0 / 96) * g).sum()
     )(x)
     (dx,) = vjp(g)
-    np.testing.assert_allclose(np.asarray(dx), np.asarray(want_dx), rtol=1e-4, atol=1e-5)
+    # atol 3e-5: on the real chip the kernel's MXU banded-matmul window
+    # sums accumulate f32 in a different order than jax.grad of the
+    # reference chain — observed max |diff| 1.6e-5 on 1/110592 elements
+    # (r2d form, 2026-08-19); CPU interpret mode sits well inside 1e-5
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(want_dx), rtol=1e-4, atol=3e-5)
 
     # fused-relu variant against composed
     yf, vjp_f = jax.vjp(lambda a: response_norm_cross_map(a, *args, fuse_relu=True), x)
@@ -538,7 +542,7 @@ def test_lrn_all_kernel_forms_match_reference(form, monkeypatch):
     )
     np.testing.assert_allclose(np.asarray(yf), np.asarray(yc), rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(
-        np.asarray(vjp_f(g)[0]), np.asarray(vjp_c(g)[0]), rtol=1e-4, atol=1e-5
+        np.asarray(vjp_f(g)[0]), np.asarray(vjp_c(g)[0]), rtol=1e-4, atol=3e-5
     )
 
 
