@@ -56,11 +56,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def gather_supported(
-    b: int, h: int, w: int, cin: int, crop: int, stride: int, p_pad: int,
+    h: int, w: int, cin: int, crop: int, stride: int, p_pad: int,
     mean, std,
 ) -> bool:
     """Static geometry gate for the kernel form (AlexNet: 256/224/4/64
-    passes; anything else falls back to the einsum path)."""
+    passes; anything else falls back to the einsum path). Batch is NOT
+    gated here: the downstream s2d_relayout requires B % 128 == 0 and
+    raises loudly itself (trainer._preprocess pre-gates per-shard B)."""
     p = crop // stride
     return (
         crop % stride == 0
@@ -193,16 +195,22 @@ def gather_crop_phased(
     s, pp = stride, p_pad
     p = crop // s
     n, cw, wc = s * pp, crop * cin, w * cin
-    assert gather_supported(b, h, w, cin, crop, s, pp, mean, std), (
+    assert gather_supported(h, w, cin, crop, s, pp, mean, std), (
         x.shape, crop, s, pp)
 
     # per-lane affine rows arranged for the final (N, CW) layout:
     # lane l = (cp*cin + c)*P + q -> channel c = (l // P) % cin
     chan = (np.arange(cw) // p) % cin
-    mrow = (np.asarray(mean, np.float32).reshape(-1)[chan]
-            if mean is not None else np.zeros(cw, np.float32))
-    srow = (np.asarray(std, np.float32).reshape(-1)[chan]
-            if std is not None else np.ones(cw, np.float32))
+
+    def _chan_row(v, fill):
+        # scalar or per-channel, like the einsum path's broadcast
+        if v is None:
+            return np.full(cw, fill, np.float32)
+        v = np.broadcast_to(np.asarray(v, np.float32).reshape(-1), (cin,))
+        return np.ascontiguousarray(v[chan], np.float32)
+
+    mrow = _chan_row(mean, 0.0)
+    srow = _chan_row(std, 1.0)
     aff = np.zeros((8, cw), np.float32)
     aff[0] = mrow
     aff[1] = srow

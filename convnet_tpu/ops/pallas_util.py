@@ -50,7 +50,7 @@ def shmap(fn, mesh, in_specs, out_specs):
             fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
             check_vma=False,
         )
-    except TypeError:  # older jax spells it check_rep
+    except (TypeError, AttributeError):  # older jax: no jax.shard_map / check_rep spelling
         from jax.experimental.shard_map import shard_map as _shard_map
 
         return _shard_map(

@@ -71,6 +71,10 @@ def _pool_form(x, kernel: int, stride: int, padding: int, mesh=None):
     b = b // dp
     if padding != 0 or kernel > 2 * stride or kernel < stride:
         return None
+    # h/w >= kernel first: Python's negative modulo would otherwise let
+    # e.g. h=1,k=3,s=2 through as "exact cover" with a zero-sized output
+    if h < kernel or w < kernel:
+        return None
     if (h - kernel) % stride or (w - kernel) % stride:
         return None
     if x.dtype not in (jnp.bfloat16, jnp.float32):

@@ -438,12 +438,15 @@ def jitter_s2d(
     )
 
     if gather_wanted() and gather_supported(
-        x.shape[0], x.shape[1], x.shape[2], x.shape[3], crop, stride, p_pad,
-        mean, std,
+        x.shape[1], x.shape[2], x.shape[3], crop, stride, p_pad, mean, std,
     ):
         # round-5 gather kernel — measured NEGATIVE on chip (segment
         # 38.1 vs 24.2 ms at B=4096, tools/r5_chip2.py: the per-image
-        # formulation is VMEM-pass-bound); kept as the documented knob
+        # formulation is VMEM-pass-bound); kept as the documented knob.
+        # Stays at the pre-cmajor relayout layout its A/B ran with (the
+        # kernel emits (B,C,n,n)); re-plumbing it channel-major would
+        # invalidate the measurement without changing the verdict's
+        # cause (VMEM passes, not the relayout operand slices)
         z = gather_crop_phased(
             x, oy, ox, flips,
             crop=crop, stride=stride, p_pad=p_pad,

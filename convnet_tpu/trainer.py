@@ -29,7 +29,7 @@ from convnet_tpu.data.datahandler import DataHandler
 from convnet_tpu.data.jitter import JitterSpec, jitter_batch
 from convnet_tpu.graph import Graph
 from convnet_tpu.parallel import mesh as mesh_lib
-from convnet_tpu.ops.pallas_util import pallas_interpret
+from convnet_tpu.ops.pallas_util import mesh_dp, pallas_interpret
 
 TrainState = Dict[str, Any]  # {"params", "moms", "step", "rng"}
 
@@ -94,7 +94,7 @@ def _preprocess(
             # replays the same augmentation stream
             jrng = jax.random.fold_in(rng, zlib.crc32(field.encode()) & 0x7FFFFFFF)
         x = out[field]
-        dp = mesh.shape.get("data", 1) if mesh is not None else 1
+        dp = mesh_dp(mesh)
         if (
             x.ndim == 4
             and x.dtype == jnp.uint8
@@ -327,7 +327,7 @@ class Trainer:
                 self.checkpoint_dir, f"{graph.name}_train_log.txt"
             )
         if self.mesh is not None:
-            dp = self.mesh.shape.get("data", 1)
+            dp = mesh_dp(self.mesh)
             if train_data.batch_size % dp:
                 raise ValueError(
                     f"batch_size {train_data.batch_size} not divisible by the "

@@ -61,13 +61,15 @@ def _assert_close_1ulp(got, want):
              std=None),
         dict(scale=1 / 255, mean=np.asarray([0.4, 0.5, 0.6], np.float32),
              std=np.asarray([0.2, 0.25, 0.3], np.float32)),
+        # scalar mean/std must broadcast like the einsum path does
+        dict(scale=1 / 255, mean=np.float32(0.45), std=np.float32(0.25)),
     ],
 )
 def test_matches_einsum(flip, affine):
     p_grid, p_pad = _geom()
     x, oy, ox, flips = _inputs(flip=flip)
     assert gather_supported(
-        x.shape[0], RAW, RAW, 3, CROP, S, p_pad, affine["mean"], affine["std"]
+        RAW, RAW, 3, CROP, S, p_pad, affine["mean"], affine["std"]
     )
     want = jitter_crop_phased(
         x, oy, ox, flips, crop=CROP, stride=S, p_pad=p_pad, **affine
@@ -131,6 +133,6 @@ def test_jitter_s2d_equal_with_gather_enabled(monkeypatch):
 
 def test_unsupported_geometry_falls_back():
     # crop not divisible by stride -> P % 8 fails the gate
-    assert not gather_supported(8, 40, 40, 3, 30, 4, 16, None, None)
+    assert not gather_supported(40, 40, 3, 30, 4, 16, None, None)
     # switch wider than 64 offsets
-    assert not gather_supported(8, 300, 300, 3, 224, 4, 64, None, None)
+    assert not gather_supported(300, 300, 3, 224, 4, 64, None, None)

@@ -45,6 +45,14 @@ def test_forward_bit_equal(shape, k, s):
     )
 
 
+def test_form_rejects_window_larger_than_input():
+    # h < kernel: Python's negative modulo used to admit this as an
+    # "exact cover" with a zero-sized Pallas output, where XLA's
+    # ceil-mode pool produces 1 output row
+    x = _x((16, 1, 1, 128))
+    assert _pool_form(x, 3, 2, 0) is None
+
+
 def test_forward_f32():
     x = _x((8, 27, 27, 256), jnp.float32, seed=3)
     form = _pool_form(x, 3, 2, 0)
