@@ -139,6 +139,7 @@ class EdgeSpec:
     pretrained_model: str = ""
     pretrained_edge_name: str = ""
     gpu_id: int = 0
+    num_groups: int = 1
 
     @property
     def has_weights(self) -> bool:
@@ -146,6 +147,17 @@ class EdgeSpec:
 
     @staticmethod
     def from_proto(p: pb.Edge) -> "EdgeSpec":
+        if p.num_groups < 1:
+            raise ValueError(
+                f"edge {p.source}->{p.dest}: num_groups must be >= 1, got "
+                f"{p.num_groups}"
+            )
+        if p.num_groups > 1 and p.edge_type != ET.CONV:
+            raise ValueError(
+                f"edge {p.source}->{p.dest}: num_groups is only supported on "
+                f"CONV edges (grouped convolution), got num_groups="
+                f"{p.num_groups} on edge_type {p.edge_type}"
+            )
         if p.edge_type in (ET.CONV, ET.LOCAL, ET.MAXPOOL):
             if p.stride < 1:
                 raise ValueError(
@@ -185,6 +197,7 @@ class EdgeSpec:
             pretrained_model=p.pretrained_model,
             pretrained_edge_name=p.pretrained_edge_name,
             gpu_id=p.gpu_id,
+            num_groups=p.num_groups,
         )
 
 
@@ -307,6 +320,13 @@ def _edge_out_shape(
     if t == ET.FC:
         return (1, 1, dest_layer.num_channels)
     if t in (ET.CONV, ET.LOCAL, ET.MAXPOOL):
+        if t == ET.CONV and e.num_groups > 1:
+            if c % e.num_groups or dest_layer.num_channels % e.num_groups:
+                raise ValueError(
+                    f"grouped conv edge {e.name}: num_groups={e.num_groups} "
+                    f"must divide both input channels ({c}) and output "
+                    f"channels ({dest_layer.num_channels})"
+                )
         oh = conv_out_size(h, e.kernel_size, e.stride, e.padding)
         ow = conv_out_size(w, e.kernel_size, e.stride, e.padding)
         oc = c if t == ET.MAXPOOL else dest_layer.num_channels

@@ -60,7 +60,8 @@ def _weight_shape(graph: Graph, e: EdgeSpec) -> Tuple[int, ...]:
     if e.edge_type == ET.FC:
         return (src_h * src_w * src_c, dst_c)
     if e.edge_type == ET.CONV:
-        return (e.kernel_size, e.kernel_size, src_c, dst_c)
+        # grouped conv (num_groups > 1): per-group input channels, HWIO
+        return (e.kernel_size, e.kernel_size, src_c // e.num_groups, dst_c)
     if e.edge_type == ET.CONV_ONETOONE:
         return (src_c, dst_c)
     if e.edge_type == ET.LOCAL:
@@ -164,7 +165,10 @@ def _edge_fprop(
         z = z + p["b"].astype(z.dtype)
         return z[:, None, None, :]
     if t == ET.CONV:
-        z = conv2d(x, p["w"], e.stride, e.padding, compute_dtype=cdt)
+        z = conv2d(
+            x, p["w"], e.stride, e.padding, compute_dtype=cdt,
+            groups=e.num_groups,
+        )
         if defer_bias:
             # bias applied (and differentiated) by the consuming
             # bias-fused response-norm edge — see apply_fn

@@ -9,6 +9,7 @@ it.
 
 from convnet_tpu.models.zoo import (  # noqa: F401
     alexnet,
+    alexnet_2tower,
     alexnet_local,
     cifar10,
     cifar10_local,

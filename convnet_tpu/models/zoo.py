@@ -50,3 +50,11 @@ def alexnet(image_size: Optional[int] = None) -> Graph:
 def alexnet_local(image_size: Optional[int] = None) -> Graph:
     """AlexNet with an untied-weight LOCAL conv4 (local-edge parity)."""
     return _example("imagenet/alexnet_local.pbtxt", image_size)
+
+
+def alexnet_2tower(image_size: Optional[int] = None) -> Graph:
+    """Original two-tower AlexNet (Krizhevsky 2012): conv2/4/5 split into
+    two channel towers — the topology the reference's multi-GPU model
+    split trained (src/multigpu_convnet.cc [U]), expressed as grouped
+    convolutions (num_groups: 2) over a model-axis mesh."""
+    return _example("imagenet/alexnet_2tower.pbtxt", image_size)

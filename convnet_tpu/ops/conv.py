@@ -260,13 +260,68 @@ def conv2d(
     stride: int,
     padding: int,
     compute_dtype=None,
+    groups: int = 1,
 ) -> jax.Array:
     """Forward convolution (reference: convUp [U]).
 
-    x: (B, H, W, Cin) NHWC; w: (kh, kw, Cin, Cout) HWIO.
+    x: (B, H, W, Cin) NHWC; w: (kh, kw, Cin/groups, Cout) HWIO.
     Output spatial size follows `conv_out_size` (ceil mode).
+
+    groups > 1 is grouped convolution (the cuda-convnet kernels'
+    numGroups — the original two-tower AlexNet topology): channels split
+    into `groups` independent towers, lowered as ONE MXU conv via
+    feature_group_count. Groups whose per-group Cin is below the
+    degenerate-weight-grad threshold (or strided, where the s2d fold
+    applies) run as per-group calls through the safe single-group routes.
     """
+    if groups > 1 and not isinstance(x, S2DInput):
+        cin_g, cout = w.shape[2], w.shape[3]
+        if x.shape[3] != cin_g * groups:
+            raise ValueError(
+                f"grouped conv: input has {x.shape[3]} channels but weight "
+                f"expects {cin_g}*{groups}"
+            )
+        if cin_g < _MIN_CIN or stride > 1:
+            # per-group dispatch keeps degenerate-Cin weight-grads off the
+            # conv primitive (im2col route) and keeps the s2d fold for
+            # strided towers; `groups` is static so this unrolls at trace
+            # time into `groups` independent convs XLA schedules freely
+            cout_g = cout // groups
+            outs = [
+                conv2d(
+                    x[..., gi * cin_g : (gi + 1) * cin_g],
+                    w[..., gi * cout_g : (gi + 1) * cout_g],
+                    stride,
+                    padding,
+                    compute_dtype=compute_dtype,
+                )
+                for gi in range(groups)
+            ]
+            return jnp.concatenate(outs, axis=-1)
+        kh, kw = w.shape[0], w.shape[1]
+        pad_h = ceil_mode_padding(x.shape[1], kh, stride, padding)
+        pad_w = ceil_mode_padding(x.shape[2], kw, stride, padding)
+        if compute_dtype is not None:
+            x = x.astype(compute_dtype)
+            w = w.astype(compute_dtype)
+        return lax.conv_general_dilated(
+            x,
+            w,
+            window_strides=(stride, stride),
+            padding=(pad_h, pad_w),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=groups,
+            preferred_element_type=None
+            if compute_dtype is not None
+            else jnp.promote_types(x.dtype, jnp.float32),
+            precision=matmul_precision(compute_dtype),
+        )
     if isinstance(x, S2DInput):
+        if groups > 1:
+            raise ValueError(
+                "grouped conv cannot consume a fused-prologue S2D input "
+                "(the s2d fold interleaves all input channels)"
+            )
         # pre-space-to-depth'd input from the fused prologue: the crop/
         # flip/normalize/pad/regroup already happened in one Pallas pass
         if x.stride != stride:

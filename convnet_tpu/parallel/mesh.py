@@ -106,7 +106,14 @@ def _edge_pspec(graph: Graph, edge_name: str, leaf: str, n_model: int = 1) -> P:
     if e.edge_type == ET.CONV and dst_c >= MIN_MODEL_SHARD_CONV_CHANNELS:
         # output-channel split = the reference's two-tower conv pinning:
         # each model shard computes its own channel slice of the conv
-        # (1/n of the FLOPs), XLA gathers at channel-global consumers
+        # (1/n of the FLOPs), XLA gathers at channel-global consumers.
+        # Grouped convs shard only when the contiguous channel split
+        # aligns with tower boundaries (n | g or g | n), so no shard
+        # straddles a partial group — GSPMD's grouped-conv partitioning
+        # stays in its well-supported regime; otherwise replicate.
+        g = e.num_groups
+        if g > 1 and (n_model % g) and (g % n_model):
+            return P()
         if leaf == "w":
             return P(None, None, None, "model")
         return P("model") if e.shared_bias else P(None, None, "model")

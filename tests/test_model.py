@@ -249,3 +249,51 @@ def test_graph_identity_includes_precision_and_remat(tiny):
     assert hash(tiny) != hash(bf16) or tiny._key != bf16._key
     same = dataclasses.replace(tiny)
     assert tiny == same and hash(tiny) == hash(same)
+
+
+def test_grad_check_grouped_conv():
+    """Finite-difference gradient check through a grouped-conv edge
+    (num_groups: 2 — both the direct feature_group_count route and the
+    per-group im2col route, chosen by per-group Cin)."""
+    m = config.parse_model(
+        """
+        name: "grouped"
+        layer { name: "input" is_input: true num_channels: 8 image_size: 6 }
+        layer { name: "c1" num_channels: 12 activation: RECTIFIED_LINEAR }
+        layer { name: "output" is_output: true num_channels: 3 activation: SOFTMAX data_field: "labels" }
+        edge { source: "input" dest: "c1" edge_type: CONV kernel_size: 3 stride: 1 padding: 1
+               num_groups: 2 initialization: DENSE_GAUSSIAN init_wt: 0.3 }
+        edge { source: "c1" dest: "output" edge_type: FC initialization: DENSE_GAUSSIAN_SQRT_FAN_IN init_wt: 1.0 }
+        """
+    )
+    g = build_graph(m)
+    assert model_lib.param_shapes(g)["input:c1"]["w"] == (3, 3, 4, 12)
+    failures, max_rel = check_graph(g, batch_size=4, samples=6, log=lambda *_: None)
+    assert failures == 0, f"gradient check failed (max rel err {max_rel})"
+
+
+def test_grouped_conv_rejected_on_non_conv_and_indivisible():
+    import pytest
+
+    bad = config.parse_model(
+        """
+        name: "bad"
+        layer { name: "input" is_input: true num_channels: 8 }
+        layer { name: "output" is_output: true num_channels: 4 activation: SOFTMAX }
+        edge { source: "input" dest: "output" edge_type: FC num_groups: 2 }
+        """
+    )
+    with pytest.raises(ValueError, match="only supported on CONV"):
+        build_graph(bad)
+    m = config.parse_model(
+        """
+        name: "bad2"
+        layer { name: "input" is_input: true num_channels: 6 image_size: 4 }
+        layer { name: "c" num_channels: 8 activation: RECTIFIED_LINEAR }
+        layer { name: "output" is_output: true num_channels: 4 activation: SOFTMAX data_field: "labels" }
+        edge { source: "input" dest: "c" edge_type: CONV kernel_size: 3 stride: 1 padding: 1 num_groups: 4 }
+        edge { source: "c" dest: "output" edge_type: FC }
+        """
+    )
+    with pytest.raises(ValueError, match="must divide"):
+        build_graph(m)

@@ -594,3 +594,53 @@ def test_lrn_2d_ragged_tile_matches_reference():
     )(x)
     (dx,) = vjp(g)
     np.testing.assert_allclose(np.asarray(dx), np.asarray(want_dx), rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize(
+    "cin_g,stride",
+    [
+        (16, 1),  # direct feature_group_count lowering (one MXU conv)
+        (4, 1),   # per-group dispatch (im2col route: cin_g < _MIN_CIN)
+        (16, 2),  # per-group dispatch (strided: s2d fold per tower)
+    ],
+)
+def test_grouped_conv_matches_per_group_loop(cin_g, stride):
+    """Grouped convolution (Edge.num_groups — the cuda-convnet kernels'
+    numGroups [U], the two-tower AlexNet topology): every lowering route
+    must equal the per-group loop exactly, forward and gradients."""
+    g = 2
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 9, 9, g * cin_g).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, cin_g, 2 * 12).astype(np.float32))
+
+    def looped(x_, w_):
+        outs = [
+            conv_ops.conv2d(
+                x_[..., gi * cin_g : (gi + 1) * cin_g],
+                w_[..., gi * 12 : (gi + 1) * 12],
+                stride,
+                1,
+            )
+            for gi in range(g)
+        ]
+        return jnp.concatenate(outs, axis=-1)
+
+    y = conv_ops.conv2d(x, w, stride, 1, groups=g)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(looped(x, w)))
+
+    loss = lambda fn: lambda w_: jnp.sum(jnp.sin(fn(x, w_)))
+    dw = jax.grad(loss(lambda x_, w_: conv_ops.conv2d(x_, w_, stride, 1, groups=g)))(w)
+    dw_ref = jax.grad(loss(looped))(w)
+    np.testing.assert_allclose(np.asarray(dw), np.asarray(dw_ref), rtol=1e-5, atol=1e-5)
+    dx = jax.grad(
+        lambda x_: jnp.sum(jnp.sin(conv_ops.conv2d(x_, w, stride, 1, groups=g)))
+    )(x)
+    dx_ref = jax.grad(lambda x_: jnp.sum(jnp.sin(looped(x_, w))))(x)
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_ref), rtol=1e-5, atol=1e-5)
+
+
+def test_grouped_conv_validates_channel_mismatch():
+    x = jnp.zeros((1, 5, 5, 10), jnp.float32)
+    w = jnp.zeros((3, 3, 4, 8), jnp.float32)  # expects 4*2=8 input channels
+    with pytest.raises(ValueError, match="grouped conv"):
+        conv_ops.conv2d(x, w, 1, 1, groups=2)

@@ -336,3 +336,69 @@ def test_pure_mp_conv_flops_are_sharded():
     # conv4: (3,3,384,384) weights -> per-device kernel slice (3,3,384,48)
     assert "3,3,384,48]" in hlo, "conv4 FLOPs not sharded over the model axis"
     assert any(op in hlo for op in ("all-gather", "all-reduce", "reduce-scatter"))
+
+
+def test_sharded_grouped_conv_matches_single_device():
+    """Grouped conv (two-tower) under a model-axis mesh: the tower split
+    IS the model split — each model shard holds one tower's output
+    channels (shard boundary == group boundary), and one train step
+    matches single-device at 1e-4."""
+    g = build_graph(config.parse_model(
+        """
+        name: "towers"
+        seed: 3
+        layer { name: "input" is_input: true num_channels: 32 image_size: 8 }
+        layer { name: "c1" num_channels: 64 activation: RECTIFIED_LINEAR }
+        layer { name: "output" is_output: true num_channels: 10 activation: SOFTMAX data_field: "labels" }
+        edge { source: "input" dest: "c1" edge_type: CONV kernel_size: 3 stride: 1 padding: 1
+               num_groups: 2 initialization: DENSE_GAUSSIAN init_wt: 0.05
+               weight_optimizer { base_epsilon: 0.01 initial_momentum: 0.9 final_momentum: 0.9 } }
+        edge { source: "c1" dest: "output" edge_type: FC initialization: DENSE_GAUSSIAN_SQRT_FAN_IN init_wt: 1.0
+               weight_optimizer { base_epsilon: 0.01 initial_momentum: 0.9 final_momentum: 0.9 } }
+        """
+    ))
+    rng = np.random.RandomState(0)
+    x = rng.rand(8, 8, 8, 32).astype(np.float32)
+    y = rng.randint(0, 10, 8).astype(np.int32)
+
+    step1 = make_train_step(g)
+    s1 = init_state(g)
+    s1, m1 = step1(s1, {"input": jnp.asarray(x), "labels": jnp.asarray(y)})
+
+    mesh = mesh_lib.make_mesh(1, 2)
+    stepN = make_train_step(g, mesh=mesh)
+    sN = init_state(g)
+    bs = mesh_lib.batch_sharding(mesh)
+    sN, mN = stepN(
+        sN, {"input": jax.device_put(x, bs), "labels": jax.device_put(y, bs)}
+    )
+
+    np.testing.assert_allclose(float(m1["loss"]), float(mN["loss"]), rtol=1e-5)
+    for e, leaves in s1["params"].items():
+        np.testing.assert_allclose(
+            np.asarray(leaves["w"]),
+            np.asarray(jax.device_get(sN["params"][e]["w"])),
+            rtol=1e-4, atol=1e-5, err_msg=e,
+        )
+    # the grouped weight is physically split at the tower boundary
+    shard = sN["params"]["input:c1"]["w"].addressable_shards[0].data
+    assert shard.shape == (3, 3, 16, 32)
+
+
+def test_grouped_conv_unaligned_model_axis_replicates():
+    """A grouped conv whose towers can't align with the model axis
+    (g=3 vs model=2) must fall back to replication, not a partial-group
+    shard."""
+    g = build_graph(config.parse_model(
+        """
+        name: "t3"
+        layer { name: "input" is_input: true num_channels: 6 image_size: 4 }
+        layer { name: "c" num_channels: 96 activation: RECTIFIED_LINEAR }
+        layer { name: "output" is_output: true num_channels: 4 activation: SOFTMAX data_field: "labels" }
+        edge { source: "input" dest: "c" edge_type: CONV kernel_size: 3 stride: 1 padding: 1 num_groups: 3 }
+        edge { source: "c" dest: "output" edge_type: FC }
+        """
+    ))
+    mesh = mesh_lib.make_mesh(1, 2)
+    ps = mesh_lib.param_shardings(g, mesh)
+    assert ps["input:c"]["w"].spec == P()  # replicated

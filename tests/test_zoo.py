@@ -7,7 +7,7 @@ from convnet_tpu import models
 
 @pytest.mark.parametrize(
     "ctor", [models.mnist_lenet, models.cifar10, models.cifar10_local,
-             models.alexnet, models.alexnet_local],
+             models.alexnet, models.alexnet_local, models.alexnet_2tower],
 )
 def test_zoo_builds(ctor):
     g = ctor()
@@ -232,3 +232,20 @@ def test_predictor_uint8_multi_input_keeps_float_aux():
     # ...including rejecting out-of-range integers (silent wrap: 300->44)
     with pytest.raises(TypeError, match="uint8"):
         p8({img_field: img.astype(np.int32) + 200, "side": side})
+
+
+def test_alexnet_2tower_geometry():
+    """The original two-tower AlexNet: identical layer geometry to the
+    single-tower net, but conv2/4/5 weights hold per-tower input
+    channels (num_groups: 2 — half the conv2/4/5 weight volume, like
+    the reference's per-GPU towers)."""
+    from convnet_tpu import model as model_lib
+
+    g = models.alexnet_2tower()
+    assert g.shapes == models.alexnet().shapes
+    shapes = model_lib.param_shapes(g)
+    assert shapes["pool1:conv2"]["w"] == (5, 5, 48, 256)
+    assert shapes["conv3:conv4"]["w"] == (3, 3, 192, 384)
+    assert shapes["conv4:conv5"]["w"] == (3, 3, 192, 256)
+    assert shapes["pool2:conv3"]["w"] == (3, 3, 256, 384)  # full cross-tower
+    assert g.parallel_model == 2  # towers map onto the mesh's model axis
