@@ -238,3 +238,21 @@ def test_invalid_dropprob_fails_loudly():
         edge { source: "input" dest: "f" edge_type: FC initialization: DENSE_GAUSSIAN init_wt: 0.1 }
         edge { source: "f" dest: "output" edge_type: FC initialization: DENSE_GAUSSIAN_SQRT_FAN_IN init_wt: 1.0 }
         """))
+
+
+DATA_PBTXTS = [p for p in EXAMPLE_PBTXTS if "data_config" in open(p).read()]
+
+
+@pytest.mark.parametrize("path", DATA_PBTXTS, ids=os.path.basename)
+def test_example_data_config_parses(path):
+    """Every examples/ data-config template (train AND val) parses as a
+    DatasetConfig with at least one named stream; val templates must be
+    deterministic (no shuffle, no jitter)."""
+    cfg = config.read_dataset_config(path)
+    assert cfg.data_config, path
+    for sc in cfg.data_config:
+        assert sc.layer_name
+    if "_val" in os.path.basename(path):
+        assert not cfg.randomize_cpu and not cfg.randomize_gpu
+        for sc in cfg.data_config:
+            assert not sc.can_translate and not sc.can_flip
